@@ -1,0 +1,37 @@
+"""Vectorized-batch wrappers around the per-doc semantics.
+
+These are the functions the Spark stage feeds Arrow batches into via
+``mapInPandas`` (iterator form — streams batches, bounds memory for
+oversized docs; SURVEY.md §2a X1/X15). They are plain
+pandas-DataFrame-in / pandas-DataFrame-out so the oracle and tests can
+call them without a SparkSession.
+
+The per-doc loop INSIDE a batch is unavoidable (each payload is an
+opaque byte stream, like the reference's one-PDF-at-a-time converter
+call, docling-pdf pdf_extractor.py:197); the input_hint's "no per-row
+Python" is satisfied at the Spark boundary: one Python invocation per
+Arrow batch, never per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from docling_pdf_spark.core.extract import OUTPUT_COLUMNS, extract_document
+
+
+def extract_pdf_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, spans) batch → EXTRACTED_SCHEMA batch."""
+    doc_ids = batch["doc_id"].tolist()
+    spans_col = batch["spans"].tolist()
+    rows = [extract_document(d, s) for d, s in zip(doc_ids, spans_col)]
+    return pd.DataFrame(rows, columns=OUTPUT_COLUMNS)
+
+
+def extract_iter(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas entrypoint: Iterator[pd.DataFrame] → Iterator[pd.DataFrame]."""
+    for batch in batches:
+        if len(batch):
+            yield extract_pdf_batch(batch)

@@ -1,0 +1,157 @@
+"""HTML main-content extraction: DOM-node text-density boilerplate strip
+(north_star: "HTML boilerplate stripping via DOM-node density
+heuristics").
+
+The reference has no HTML path (it is PDF-only, docling-pdf
+`main.py:102`); the north_rule adds interleaved HTML payloads. The
+heuristic here is the published Boilerpipe family (Kohlschütter et al.,
+"Boilerplate Detection using Shallow Text Features", WSDM 2010):
+
+  * subtrees under structural-chrome tags (nav/header/footer/aside,
+    plus script/style) are dropped wholesale;
+  * block-level elements are kept iff they carry enough text
+    (>= MIN_BLOCK_TEXT chars after whitespace-collapse) and are not
+    link-dense (anchor-chars / total-chars <= MAX_LINK_DENSITY);
+  * <table> elements become table blocks (rows joined by newline,
+    cells by ' | ') — the analog of the reference's docling table
+    items (pdf_extractor.py:395-401);
+  * <img> elements become image blocks carrying src as media_ref —
+    the analog of docling picture items (pdf_extractor.py:404-410).
+
+Pure stdlib (html.parser), no Spark imports; shared by oracle and UDF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+from docling_pdf_spark.conf import (
+    BLOCK_TAGS,
+    DROP_TAGS,
+    MAX_LINK_DENSITY,
+    MIN_BLOCK_TEXT,
+)
+
+_VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link", "area", "col", "embed", "source", "track", "wbr"})
+
+
+@dataclass
+class HtmlBlock:
+    kind: str  # 'text' | 'table' | 'image'
+    text: str
+    media_ref: str | None = None
+
+
+def _collapse(s: str) -> str:
+    return " ".join(s.split())
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[HtmlBlock] = []
+        self._drop_depth = 0
+        self._anchor_depth = 0
+        # innermost-block buffer stack: [text_parts, link_chars]
+        self._stack: list[tuple[list[str], list[int]]] = []
+        # table state
+        self._table_depth = 0
+        self._rows: list[list[str]] = []
+        self._cell: list[str] | None = None
+
+    # -- tag events ------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "img":
+            d = dict(attrs)
+            alt = _collapse(d.get("alt") or "")
+            src = d.get("src") or None
+            self.blocks.append(HtmlBlock("image", alt, src))
+            return
+        if tag == "table":
+            self._table_depth += 1
+            if self._table_depth == 1:
+                self._rows = []
+            return
+        if self._table_depth:
+            if tag == "tr":
+                self._rows.append([])
+            elif tag in ("td", "th"):
+                self._cell = []
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in BLOCK_TAGS:
+            self._stack.append(([], [0]))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in DROP_TAGS:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag == "table":
+            if self._table_depth == 1:
+                text = "\n".join(
+                    " | ".join(cell for cell in row) for row in self._rows if row
+                )
+                if text.strip():
+                    self.blocks.append(HtmlBlock("table", text))
+                self._rows = []
+            self._table_depth = max(0, self._table_depth - 1)
+            return
+        if self._table_depth:
+            if tag in ("td", "th") and self._cell is not None:
+                row = self._rows[-1] if self._rows else None
+                if row is None:
+                    self._rows.append([])
+                    row = self._rows[-1]
+                row.append(_collapse(" ".join(self._cell)))
+                self._cell = None
+            return
+        if tag == "a":
+            self._anchor_depth = max(0, self._anchor_depth - 1)
+        if tag in BLOCK_TAGS and self._stack:
+            parts, link = self._stack.pop()
+            text = _collapse(" ".join(parts))
+            if not text:
+                return
+            density = link[0] / max(1, len(text))
+            if len(text) >= MIN_BLOCK_TEXT and density <= MAX_LINK_DENSITY:
+                self.blocks.append(HtmlBlock("text", text))
+
+    # -- text events -----------------------------------------------
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth or not data.strip():
+            return
+        if self._table_depth:
+            if self._cell is not None:
+                self._cell.append(data)
+            return
+        if self._stack:
+            parts, link = self._stack[-1]
+            parts.append(data)
+            if self._anchor_depth:
+                link[0] += len(_collapse(data))
+
+
+def extract_html(html: str) -> list[HtmlBlock]:
+    """Parse one HTML payload into ordered content blocks.
+
+    Emission order = document order of block-close / img / table-close
+    events — deterministic for any input (html.parser never raises on
+    malformed markup, mirroring the reference's never-crash stance,
+    pdf_extractor.py:357-369).
+    """
+    p = _Extractor()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass  # salvage whatever was emitted before the failure
+    return p.blocks

@@ -1,0 +1,266 @@
+"""From-scratch minimal PDF text extractor with a strict→lenient→raw
+rung ladder (SURVEY.md §2a X5/X8/X9).
+
+The reference achieves robustness with a backend retry ladder
+(docling-pdf `pdf_extractor.py:694-739`: pypdfium2 → dlparse_v1 →
+dlparse_v2) and a final PyMuPDF fallback (`pdf_extractor.py:473-576`).
+Neither library is a dependency here; this module re-creates the
+*semantics* — "first rung that succeeds wins, record which" — over a
+self-contained parser of the uncompressed PDF subset our corpus uses:
+
+  strict   — full object-graph walk (trailer → catalog → pages → kids →
+             content streams), real page boundaries and /MediaBox
+             geometry; invalid boxes repaired to A4 595×842 exactly as
+             the reference does (`pdf_extractor.py:668-671`).
+  lenient  — regex scan for BT…ET text ops per content stream, stream
+             order = page order (object graph ignored).
+  raw      — printable literal-string sieve over the raw bytes; one
+             synthetic page; analog of the reference's last-resort
+             fallback shape (`pdf_extractor.py:555-564`).
+
+Reading order within a page = sort text boxes by (-y, x): top-to-bottom
+(PDF y grows up), then left-to-right — the layout-block detection the
+north_star names. Pure Python, no Spark imports; shared by the serial
+oracle and the Spark UDF.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from docling_pdf_spark.conf import A4_HEIGHT, A4_WIDTH, RUNG_LENIENT, RUNG_RAW, RUNG_STRICT
+
+
+class StrictParseError(Exception):
+    """Strict rung cannot resolve the object graph."""
+
+
+class LenientParseError(Exception):
+    """Lenient rung found no text operators."""
+
+
+@dataclass
+class Page:
+    number: int  # 1-based
+    width: float
+    height: float
+    valid_dims: bool
+    boxes: list[tuple[float, float, str]] = field(default_factory=list)  # (x, y, text)
+    n_images: int = 0
+
+    def reading_order_text(self) -> str:
+        """Layout-block detection: reading-order sort by (-y, x).
+
+        Re-creates what docling's layout model produces for simple
+        single/multi-column pages (the behavior behind
+        `pdf_extractor.py:197` converter.convert); ties broken by x then
+        original index for determinism.
+        """
+        order = sorted(
+            range(len(self.boxes)),
+            key=lambda i: (-self.boxes[i][1], self.boxes[i][0], i),
+        )
+        return "\n".join(self.boxes[i][2] for i in order)
+
+
+@dataclass
+class ParsedPdf:
+    rung: str
+    pages: list[Page]
+    encrypted: bool = False
+    pages_with_valid_dimensions: int = 0
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_BT_RE = re.compile(rb"BT\b(.*?)\bET", re.S)
+_TD_RE = re.compile(rb"([-\d.]+)\s+([-\d.]+)\s+Td")
+_TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj")
+_DO_RE = re.compile(rb"/\w+\s+Do\b")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[([^\]]*)\]")
+_LITSTR_RE = re.compile(rb"\(((?:\\.|[^\\()]){2,})\)")
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _unescape(raw: bytes) -> str:
+    """Decode a PDF literal string body (escapes + octal) to text."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal \ddd
+                j = i + 1
+                while j < min(i + 4, n) and raw[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            i += 1  # lone backslash: drop (PDF spec)
+            continue
+        out += c
+        i += 1
+    return out.decode("utf-8", errors="replace")
+
+
+def _text_boxes(stream: bytes) -> list[tuple[float, float, str]]:
+    """Extract (x, y, text) boxes from one content stream."""
+    boxes: list[tuple[float, float, str]] = []
+    for bt in _BT_RE.finditer(stream):
+        body = bt.group(1)
+        x = y = 0.0
+        pos = 0
+        for m in _TJ_RE.finditer(body):
+            tds = list(_TD_RE.finditer(body, pos, m.start()))
+            if tds:
+                try:
+                    x, y = float(tds[-1].group(1)), float(tds[-1].group(2))
+                except ValueError:
+                    pass
+            boxes.append((x, y, _unescape(m.group(1))))
+            pos = m.end()
+    return boxes
+
+
+def parse_strict(data: bytes) -> ParsedPdf:
+    """Full object-graph parse (the 'docling' analog rung)."""
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+
+    trailer_at = data.rfind(b"trailer")
+    trailer = data[trailer_at:] if trailer_at != -1 else b""
+    encrypted = b"/Encrypt" in trailer
+
+    root_m = re.search(rb"/Root\s+(\d+)\s+0\s+R", trailer)
+    catalog = objs.get(int(root_m.group(1))) if root_m else None
+    if catalog is None:  # no trailer root — accept a lone catalog object
+        for body in objs.values():
+            if b"/Type" in body and b"/Catalog" in body:
+                catalog = body
+                break
+    if catalog is None:
+        raise StrictParseError("no catalog")
+
+    pages_m = re.search(rb"/Pages\s+(\d+)\s+0\s+R", catalog)
+    if not pages_m or int(pages_m.group(1)) not in objs:
+        raise StrictParseError("catalog has no resolvable /Pages")
+    pages_obj = objs[int(pages_m.group(1))]
+
+    kids_m = re.search(rb"/Kids\s*\[([^\]]*)\]", pages_obj)
+    if not kids_m:
+        raise StrictParseError("pages node has no /Kids")
+    kid_ids = [int(r.group(1)) for r in _REF_RE.finditer(kids_m.group(1))]
+
+    pages: list[Page] = []
+    valid = 0
+    for n, kid in enumerate(kid_ids, start=1):
+        body = objs.get(kid)
+        if body is None:
+            raise StrictParseError(f"missing page object {kid}")
+        mb = _MEDIABOX_RE.search(body)
+        w = h = 0.0
+        if mb:
+            try:
+                nums = [float(v) for v in mb.group(1).split()]
+                if len(nums) == 4:
+                    w, h = nums[2] - nums[0], nums[3] - nums[1]
+            except ValueError:
+                pass
+        valid_dims = w > 0 and h > 0
+        if valid_dims:
+            valid += 1
+        else:
+            # dimension repair: default to A4, exactly the reference's
+            # _fix_pdf_page_dimensions default (pdf_extractor.py:668-671)
+            w, h = A4_WIDTH, A4_HEIGHT
+        page = Page(number=n, width=w, height=h, valid_dims=valid_dims)
+        cont_m = re.search(rb"/Contents\s+(\d+)\s+0\s+R", body)
+        if cont_m and int(cont_m.group(1)) in objs:
+            sm = _STREAM_RE.search(objs[int(cont_m.group(1))])
+            if sm:
+                stream = sm.group(1)
+                page.boxes = _text_boxes(stream)
+                page.n_images = len(_DO_RE.findall(stream))
+        pages.append(page)
+
+    return ParsedPdf(
+        rung=RUNG_STRICT,
+        pages=pages,
+        encrypted=encrypted,
+        pages_with_valid_dimensions=valid,
+    )
+
+
+def parse_lenient(data: bytes) -> ParsedPdf:
+    """Regex text-op scan; each content stream in byte order = one page
+    (object graph ignored). Analog of the backend retry rung
+    (pdf_extractor.py:694-739): degraded but structured."""
+    pages: list[Page] = []
+    n = 0
+    for sm in _STREAM_RE.finditer(data):
+        stream = sm.group(1)
+        boxes = _text_boxes(stream)
+        n_images = len(_DO_RE.findall(stream))
+        if not boxes and not n_images:
+            continue  # image-data / non-content stream
+        n += 1
+        pages.append(
+            Page(
+                number=n,
+                width=A4_WIDTH,
+                height=A4_HEIGHT,
+                valid_dims=False,
+                boxes=boxes,
+                n_images=n_images,
+            )
+        )
+    if not any(p.boxes for p in pages):
+        raise LenientParseError("no text operators found")
+    return ParsedPdf(rung=RUNG_LENIENT, pages=pages, encrypted=b"/Encrypt" in data)
+
+
+def parse_raw(data: bytes) -> ParsedPdf:
+    """Printable literal-string sieve: every parenthesized string in byte
+    order on one synthetic page, no geometry. Shape analog of the
+    reference's last-resort fallback (pdf_extractor.py:555-564:
+    tables=[], note, real page loop degraded to a single text blob)."""
+    texts = []
+    for m in _LITSTR_RE.finditer(data):
+        s = _unescape(m.group(1))
+        if s.strip():
+            texts.append(s)
+    page = Page(
+        number=1,
+        width=A4_WIDTH,
+        height=A4_HEIGHT,
+        valid_dims=False,
+        boxes=[(0.0, 0.0, t) for t in texts],  # byte order preserved (y=0 ties)
+    )
+    return ParsedPdf(rung=RUNG_RAW, pages=[page] if texts else [])
+
+
+def parse_ladder(data: bytes) -> ParsedPdf:
+    """First-success-wins ladder (pdf_extractor.py:694-739 semantics:
+    try each rung with a fresh parser, record which one produced the
+    result; all-fail propagates)."""
+    try:
+        return parse_strict(data)
+    except Exception:
+        pass
+    try:
+        return parse_lenient(data)
+    except Exception:
+        pass
+    return parse_raw(data)

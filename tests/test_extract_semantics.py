@@ -1,0 +1,195 @@
+"""Per-document extraction semantics: span encoding (SURVEY.md §1.4),
+aggregates (X13), pagination (X12), failure envelopes (X14), plus
+hypothesis property tests (SURVEY.md §5.2.2)."""
+
+from __future__ import annotations
+
+import base64
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docling_pdf_spark.conf import LINES_PER_PAGE
+from docling_pdf_spark.core.extract import extract_document
+from docling_pdf_spark.core.pdfgen import PageSpec, make_pdf
+
+
+def sp(kind, text, media_ref=None, offset=0):
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+
+def pdf64(pages, **kw):
+    return base64.b64encode(make_pdf(pages, **kw)).decode("ascii")
+
+
+# ------------------------------------------------------------- encoding
+
+
+def test_span_encoding_order_and_offsets():
+    row = extract_document(
+        "d1",
+        [
+            sp("text", "alpha", offset=0),
+            sp("media", "cap", media_ref="img://d1/0", offset=1),
+            sp("html", "<p>paragraph body long enough to survive density</p>"
+                       "<table><tr><td>x</td><td>y</td></tr></table>", offset=2),
+            sp("text", "omega", offset=3),
+        ],
+    )
+    assert row["extraction_successful"]
+    kinds = [s["kind"] for s in row["spans"]]
+    # all text spans first, then tables, then media (no images here)
+    assert kinds == ["text", "text", "text", "table", "media"]
+    t0, t1, t2 = row["spans"][0], row["spans"][1], row["spans"][2]
+    assert t0["offset"] == 0
+    assert t1["offset"] == len(t0["text"]) + 1
+    assert t2["offset"] == t1["offset"] + len(t1["text"]) + 1
+    # full-text aggregates (pdf_extractor.py:456-457 semantics)
+    full = "\n".join(s["text"] for s in row["spans"] if s["kind"] == "text")
+    assert row["n_chars"] == len(full)
+    assert row["n_words"] == len(full.split())
+    assert row["n_pages"] == 3
+    assert row["has_tables"] and not row["has_images"]
+    # media links to nearest PRECEDING text block = 'alpha' at offset 0
+    media = row["spans"][-1]
+    assert media["media_ref"] == "img://d1/0"
+    assert media["offset"] == 0
+
+
+def test_media_before_any_text_links_to_minus_one():
+    row = extract_document("d", [sp("media", "cap", media_ref="m://x", offset=0)])
+    assert row["spans"][0]["offset"] == -1
+
+
+def test_pdf_image_span_fstring_and_ref():
+    row = extract_document(
+        "d", [sp("pdf", pdf64([PageSpec(texts=[(72, 700, "t")], n_images=2)]))]
+    )
+    imgs = [s for s in row["spans"] if s["kind"] == "image"]
+    # byte-exact description f-string (pdf_extractor.py:518-524)
+    assert [(i["media_ref"], i["text"]) for i in imgs] == [
+        ("page1/img1", "Image 1 on page 1"),
+        ("page1/img2", "Image 2 on page 1"),
+    ]
+    assert row["has_images"]
+
+
+# ----------------------------------------------------------- pagination
+
+
+def test_strict_path_repaginates_50_lines():
+    # one real page with 120 text lines → 3 output pages of 50/50/20
+    # (docling-path behavior: real boundaries discarded, pdf_extractor.py:413-442)
+    texts = [(72.0, 800.0 - i * 0.5, f"line {i:03d}") for i in range(120)]
+    row = extract_document("d", [sp("pdf", pdf64([PageSpec(texts=texts)]))])
+    pages = [s for s in row["spans"] if s["kind"] == "text"]
+    assert row["extraction_method"] == "strict"
+    assert [len(p["text"].split("\n")) for p in pages] == [50, 50, 20]
+    assert pages[0]["text"].startswith("line 000")
+
+
+def test_fallback_path_keeps_real_page_boundaries():
+    pdf = pdf64(
+        [PageSpec(texts=[(72, 700, "p1")]), PageSpec(texts=[(72, 700, "p2")])],
+        corrupt="truncate_xref",
+    )
+    row = extract_document("d", [sp("pdf", pdf)])
+    assert row["extraction_method"] == "lenient"
+    pages = [s["text"] for s in row["spans"] if s["kind"] == "text"]
+    # real page boundaries preserved (strict would merge into one
+    # 50-line chunk: one span, not two)
+    assert pages == ["p1", "p2"]
+
+
+# ------------------------------------------------------------ envelopes
+
+
+def test_bad_magic_is_error_row():
+    row = extract_document("d", [sp("pdf", pdf64([PageSpec()], corrupt="no_magic"))])
+    assert row == {
+        "doc_id": "d",
+        "extraction_successful": False,
+        "extraction_method": None,
+        "spans": [],
+        "n_pages": 0,
+        "n_chars": 0,
+        "n_words": 0,
+        "has_tables": False,
+        "has_images": False,
+        "warning": None,
+        "error": "invalid_pdf_magic",
+    }
+
+
+def test_oversize_is_error_row(monkeypatch):
+    import docling_pdf_spark.core.extract as ex
+
+    monkeypatch.setattr(ex, "MAX_PDF_BYTES", 64)
+    row = extract_document("d", [sp("pdf", pdf64([PageSpec(texts=[(0, 0, "x" * 100)])]))])
+    assert not row["extraction_successful"]
+    assert row["error"] == "file_too_large"
+
+
+def test_invalid_base64_is_error_row():
+    row = extract_document("d", [sp("pdf", "not$$base64!!")])
+    assert not row["extraction_successful"]
+    assert row["error"].startswith("invalid_base64_payload")
+
+
+def test_empty_doc_success_with_warning():
+    for spans in ([], None):
+        row = extract_document("d", spans)
+        assert row["extraction_successful"]
+        assert row["warning"] == "empty_document"
+        assert row["spans"] == [] and row["n_pages"] == 0
+
+
+def test_never_raises_on_garbage_span_objects():
+    row = extract_document("d", [{"kind": "pdf"}, {"bogus": 1}, None])
+    assert row["doc_id"] == "d"  # produced a row, whatever its status
+
+
+# ---------------------------------------------------------- properties
+
+
+text_lines = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_characters="\n", blacklist_categories=("Cs",)),
+        min_size=1,
+        max_size=40,
+    ).map(lambda s: s.replace("\r", " ")),
+    min_size=1,
+    max_size=130,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(text_lines)
+def test_pagination_inverse_property(lines):
+    """'\n'.join(text spans) == full_text, and offsets are exact cumsums
+    (SURVEY.md §5.2.2 pagination-inverse + offset-monotonicity)."""
+    texts = [(72.0, 800.0 - i * 0.01, ln) for i, ln in enumerate(lines)]
+    row = extract_document("d", [sp("pdf", pdf64([PageSpec(texts=texts)]))])
+    spans = [s for s in row["spans"] if s["kind"] == "text"]
+    full = "\n".join(s["text"] for s in spans)
+    assert row["n_chars"] == len(full)
+    off = 0
+    for s in spans:
+        assert s["offset"] == off
+        off += len(s["text"]) + 1
+    # page sizes: every page except the last has exactly LINES_PER_PAGE lines
+    for s in spans[:-1]:
+        assert len(s["text"].split("\n")) == LINES_PER_PAGE
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.sampled_from(["text", "media"]), min_size=1, max_size=12))
+def test_offset_monotonicity_mixed_spans(kinds):
+    spans = [
+        sp(k, f"payload {i} long enough", media_ref=f"m://{i}" if k == "media" else None, offset=i)
+        for i, k in enumerate(kinds)
+    ]
+    row = extract_document("d", spans)
+    offs = [s["offset"] for s in row["spans"] if s["kind"] == "text"]
+    assert offs == sorted(offs)
+    assert all(o >= 0 for o in offs)

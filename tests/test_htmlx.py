@@ -1,0 +1,69 @@
+"""Unit tests for the HTML boilerplate strip (north_star DOM-density heuristic)."""
+
+from __future__ import annotations
+
+from docling_pdf_spark.core.htmlx import extract_html
+
+PAGE = """
+<html><body>
+<nav><a href="/a">home</a> <a href="/b">blog</a> <a href="/c">about us now</a></nav>
+<header><h1>Site</h1></header>
+<article>
+  <p>This is the real main content paragraph with plenty of prose in it.</p>
+  <p>tiny</p>
+  <p>A second substantial paragraph that easily clears the density bar.</p>
+</article>
+<aside><ul>
+  <li><a href="#x">promoted link one goes here</a></li>
+  <li><a href="#y">promoted link two goes here</a></li>
+</ul></aside>
+<footer><a href="/tos">terms of service</a> copyright</footer>
+</body></html>
+"""
+
+
+def test_boilerplate_dropped_content_kept():
+    blocks = extract_html(PAGE)
+    texts = [b.text for b in blocks if b.kind == "text"]
+    assert texts == [
+        "This is the real main content paragraph with plenty of prose in it.",
+        "A second substantial paragraph that easily clears the density bar.",
+    ]
+
+
+def test_short_and_link_dense_blocks_dropped():
+    html = (
+        "<p>tiny</p>"
+        '<li><a href="#">this entire block is one long anchor of link text</a></li>'
+        "<p>legitimate content block that is long enough to keep around</p>"
+    )
+    texts = [b.text for b in extract_html(html) if b.kind == "text"]
+    assert texts == ["legitimate content block that is long enough to keep around"]
+
+
+def test_table_becomes_table_block():
+    html = "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>"
+    blocks = extract_html(html)
+    assert len(blocks) == 1
+    assert blocks[0].kind == "table"
+    assert blocks[0].text == "a | b\nc | d"
+
+
+def test_img_becomes_image_block_with_media_ref():
+    blocks = extract_html('<p>intro text long enough to keep here ok</p><img src="cdn://1.png" alt="fig 1">')
+    img = [b for b in blocks if b.kind == "image"]
+    assert len(img) == 1
+    assert img[0].media_ref == "cdn://1.png"
+    assert img[0].text == "fig 1"
+
+
+def test_nested_blocks_no_duplicate_emission():
+    html = "<article><p>inner paragraph easily long enough to keep here</p></article>"
+    texts = [b.text for b in extract_html(html) if b.kind == "text"]
+    assert texts == ["inner paragraph easily long enough to keep here"]
+
+
+def test_malformed_html_never_raises():
+    assert isinstance(extract_html("<p><b>unclosed <table><tr><td>x"), list)
+    assert extract_html("") == []
+    assert extract_html(None) == []

@@ -1,0 +1,112 @@
+"""Unit tests for the PDF mini-parser ladder (SURVEY.md §2a X5/X7/X8)."""
+
+from __future__ import annotations
+
+from docling_pdf_spark.conf import RUNG_LENIENT, RUNG_RAW, RUNG_STRICT
+from docling_pdf_spark.core.pdfgen import PageSpec, make_pdf
+from docling_pdf_spark.core.pdfparse import (
+    _unescape,
+    parse_ladder,
+    parse_strict,
+)
+
+
+def _page(*texts, **kw):
+    return PageSpec(texts=list(texts), **kw)
+
+
+def test_strict_roundtrip_pages_and_text():
+    pdf = make_pdf(
+        [
+            _page((72, 700, "first line"), (72, 630, "second line")),
+            _page((72, 700, "page two")),
+        ]
+    )
+    parsed = parse_strict(pdf)
+    assert parsed.rung == RUNG_STRICT
+    assert [p.number for p in parsed.pages] == [1, 2]
+    assert parsed.pages[0].reading_order_text() == "first line\nsecond line"
+    assert parsed.pages[1].reading_order_text() == "page two"
+    assert parsed.pages_with_valid_dimensions == 2
+
+
+def test_reading_order_sort_top_down_left_right():
+    # boxes deliberately out of reading order; two-column layout
+    pdf = make_pdf(
+        [
+            _page(
+                (320, 700, "right top"),
+                (60, 100, "left bottom"),
+                (60, 700, "left top"),
+                (320, 100, "right bottom"),
+            )
+        ]
+    )
+    parsed = parse_strict(pdf)
+    # (-y, x): y=700 row first (left 60 before right 320), then y=100 row
+    assert (
+        parsed.pages[0].reading_order_text()
+        == "left top\nright top\nleft bottom\nright bottom"
+    )
+
+
+def test_reading_order_tie_stability():
+    pdf = make_pdf([_page((72, 500, "a"), (72, 500, "b"), (72, 500, "c"))])
+    assert parse_strict(pdf).pages[0].reading_order_text() == "a\nb\nc"
+
+
+def test_invalid_mediabox_repaired_to_a4():
+    # reference default: _fix_pdf_page_dimensions → 595×842 (pdf_extractor.py:668-671)
+    pdf = make_pdf([_page((72, 700, "x"), media_box=(0, 0, 0, 0))])
+    parsed = parse_strict(pdf)
+    page = parsed.pages[0]
+    assert not page.valid_dims
+    assert (page.width, page.height) == (595.0, 842.0)
+    assert parsed.pages_with_valid_dimensions == 0
+
+
+def test_encrypted_flag_from_trailer():
+    pdf = make_pdf([_page((72, 700, "x"))], encrypted=True)
+    assert parse_strict(pdf).encrypted
+
+
+def test_images_counted_per_page():
+    pdf = make_pdf([_page((72, 700, "x"), n_images=2), _page((72, 700, "y"))])
+    parsed = parse_strict(pdf)
+    assert [p.n_images for p in parsed.pages] == [2, 0]
+
+
+def test_ladder_corrupt_graph_falls_to_lenient():
+    pdf = make_pdf([_page((72, 700, "keep me"))], corrupt="garbage_graph")
+    parsed = parse_ladder(pdf)
+    assert parsed.rung == RUNG_LENIENT
+    assert "keep me" in parsed.pages[0].reading_order_text()
+
+
+def test_ladder_truncated_falls_to_lenient():
+    pdf = make_pdf(
+        [_page((72, 700, "alpha")), _page((72, 700, "beta"))],
+        corrupt="truncate_xref",
+    )
+    parsed = parse_ladder(pdf)
+    assert parsed.rung == RUNG_LENIENT
+    assert any("alpha" in p.reading_order_text() for p in parsed.pages)
+
+
+def test_ladder_mangled_ops_falls_to_raw():
+    pdf = make_pdf([_page((72, 700, "sieved text"))], corrupt="mangle_ops")
+    parsed = parse_ladder(pdf)
+    assert parsed.rung == RUNG_RAW
+    assert "sieved text" in parsed.pages[0].reading_order_text()
+
+
+def test_unescape_escapes_and_octal():
+    assert _unescape(rb"a\(b\)c\\d") == "a(b)c\\d"
+    assert _unescape(rb"\101\102") == "AB"
+    assert _unescape("héllo ✓".encode()) == "héllo ✓"
+
+
+def test_unicode_text_roundtrip():
+    s = "文档 🔥 توازي (nested) back\\slash"
+    pdf = make_pdf([_page((72, 700, s))])
+    assert parse_strict(pdf).pages[0].reading_order_text() == s
