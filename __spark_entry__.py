@@ -1,38 +1,87 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship extraction: derive an interleaved span table
+                from /root/testdata/sf0.001/documents.parquet and run
+                the full mapInPandas extraction pipeline over it.
+queries()     — one entry per implemented operator (SURVEY.md §2 +
+                training-data ops); each (spark, sf_dir) → DataFrame.
+oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible entry;
+                non-SQL ops (the extraction UDF pipeline itself) get
+                the rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _interleaved_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically wrap the driver's flat documents table into the
+    north-rule interleaved span shape (doc_id, spans) — one text span,
+    one html span (with boilerplate to strip), one media span."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    html_span = F.struct(
+        F.lit("html").alias("kind"),
+        F.concat(
+            F.lit("<html><body><nav><a href='/'>home</a></nav><article><p>"),
+            F.col("text"),
+            F.lit("</p></article><footer>c</footer></body></html>"),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(1).alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.concat(F.lit("figure for "), F.col("source")).alias("text"),
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit(2).alias("offset"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(text_span, html_span, media_span).alias("spans"),
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline on sf0.001-derived span table."""
+    from docling_pdf_spark.pipeline import extract
+
+    docs = _interleaved_from_documents(spark, "/root/testdata/sf0.001")
+    return extract(docs, num_partitions=8)
+
+
+def _extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction pipeline as a queries() entry (rows-only check —
+    the UDF transform is not SQL-expressible; correctness is covered by
+    the oracle span-equality suite in tests/)."""
+    from docling_pdf_spark.pipeline import extract
+
+    return extract(_interleaved_from_documents(spark, sf_dir), num_partitions=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from docling_pdf_spark.queries import spark_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = spark_queries()
+    q["extract_interleaved"] = _extract_interleaved
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from docling_pdf_spark.queries import duckdb_oracles
+
+    return duckdb_oracles()

@@ -1,0 +1,556 @@
+"""Driver-contract query catalog (SURVEY.md §5.2.5, __spark_entry__.py).
+
+One entry per SQL-expressible operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis)
+over the driver's tables at /root/testdata/sf*/ (documents, events,
+embeddings, TPC-H-ish star schema).
+
+Design rules for exact DuckDB-hash parity:
+  * every computed column is aliased identically in the Spark plan and
+    the oracle SQL;
+  * money/value sums are cast to DECIMAL(18,2|4) BEFORE aggregation on
+    both sides, so floating-point summation order can never produce a
+    hash mismatch;
+  * floating results (cosine similarity, ratios) are computed in
+    float64 on both sides and rounded to a fixed number of digits;
+  * ties in any top-k are broken by a unique key column.
+
+Spark-first notes: filters and projections sit directly on the parquet
+scan (Catalyst pushes them down — verified via .explain in
+tests/test_plans.py); small dimension joins are broadcast; aggregates
+are plain hash-aggregates with partial+final map-side combine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Extraction-analog relational operators (SURVEY.md §2a/2b)
+# =====================================================================
+
+
+def q_admission_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: the upload admission gates as a vectorized predicate
+    (reference main.py:102-121: extension/size/magic → here size/empty)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        ((F.col("n_chars") <= 500) & (F.length("text") > 0)).alias("is_valid"),
+    )
+
+
+SQL_ADMISSION = """
+SELECT doc_id, n_chars, (n_chars <= 500 AND length(text) > 0) AS is_valid
+FROM documents
+"""
+
+
+def q_doc_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: per-doc char/word counts (pdf_extractor.py:456-457 —
+    whitespace-split word count, full-text length)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("char_count"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("word_count"),
+    )
+
+
+SQL_DOC_AGGREGATES = r"""
+SELECT doc_id,
+       length(text) AS char_count,
+       len(string_split_regex(trim(text), '\s+')) AS word_count
+FROM documents
+"""
+
+
+def q_pagination_50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 relational formulation: fixed-size re-chunking of a document
+    into 50-token pages (pdf_extractor.py:413-442 does 50 lines of
+    markdown; the driver corpus has no newlines so tokens stand in for
+    lines). posexplode → floor(pos/50) → ordered re-assembly."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    page = tok.withColumn("page_number", F.floor(F.col("pos") / 50))
+    return (
+        page.groupBy("doc_id", "page_number")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("content"),
+            F.count("*").alias("token_count"),
+        )
+    )
+
+
+SQL_PAGINATION_50 = """
+SELECT doc_id,
+       (gs - 1) // 50 AS page_number,
+       string_agg(tok, ' ' ORDER BY gs) AS content,
+       count(*) AS token_count
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+     LATERAL (SELECT unnest(toks) AS tok, generate_subscripts(toks, 1) AS gs) u
+GROUP BY doc_id, page_number
+"""
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: GET /status/{id} analog — keyed point lookup
+    (redis_manager.py:141-161). Predicate pushes to the parquet scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") == 42).select("doc_id", "lang", "source", "n_chars")
+
+
+SQL_POINT_LOOKUP = "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42"
+
+
+def q_status_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: GET /tasks analog — full scan + roll-up (the reference's
+    KEYS+mget N+1 pathology, redis_manager.py:174-194, collapsed into
+    one columnar scan + hash aggregate)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_STATUS_SCAN = """
+SELECT source, lang, count(*) AS n_docs,
+       sum(n_chars) AS sum_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY source, lang
+"""
+
+
+def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4.3.2 resume anti-join: input rows not yet touched by any event
+    (documents LEFT ANTI JOIN events ON doc_id=user_id). The completed
+    side is small → Spark broadcasts it (BroadcastHashJoin, LeftAnti)."""
+    docs = _t(spark, sf_dir, "documents")
+    events = _t(spark, sf_dir, "events")
+    return docs.join(
+        F.broadcast(events.select(F.col("user_id").alias("doc_id")).distinct()),
+        on="doc_id",
+        how="left_anti",
+    ).select("doc_id", "source")
+
+
+SQL_RESUME_ANTI_JOIN = """
+SELECT d.doc_id, d.source FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = d.doc_id)
+"""
+
+
+# =====================================================================
+# Relational coverage: aggregation / join / window / sort-limit
+# =====================================================================
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregate with decimal-exact sums
+    (partial+final hash agg; filter pushed to scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("decimal(18,4)")
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS DECIMAL(18,4))) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + top-k. customer is tiny → broadcast;
+    orders⋈lineitem shuffles on the join key with AQE sizing."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("decimal(18,4)")
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_orderdate,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS DECIMAL(18,4))) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function coverage: top-3 customers per market segment by
+    decimal-exact total order value (row_number over partitioned sort)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    totals = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_value"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_value"), F.asc("c_custkey")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "c_custkey", "total_value")
+    )
+
+
+SQL_TOP_CUSTOMERS_WINDOW = """
+SELECT c_mktsegment, rank, c_custkey, total_value FROM (
+  SELECT c_mktsegment, c_custkey, total_value,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY total_value DESC, c_custkey ASC) AS rank
+  FROM (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_value
+    FROM orders GROUP BY o_custkey
+  ) t JOIN customer ON o_custkey = c_custkey
+) WHERE rank <= 3
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregate over the events stream table (the batch
+    equivalent of a tumbling 1h window; streaming variant in
+    docling_pdf_spark.streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# =====================================================================
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: md5(text) → group size + keeper id
+    (map-side combine; at 100 TB this is the shuffle-on-hash pattern,
+    with the hash computed JVM-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via word-5-gram shingles: docs sharing a
+    shingle hash → candidate pair → Jaccard over distinct shingle sets.
+    Self-join shuffles on the shingle hash (the LSH-bucket pattern);
+    identical pairs excluded, pairs below 0.2 Jaccard pruned."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.when(
+        F.size(toks) >= 5, F.sequence(F.lit(1), F.size(toks) - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(  # noqa: E731 — 1-based, 5 consecutive tokens
+        " ",
+        F.element_at(toks, i),
+        F.element_at(toks, i + 1),
+        F.element_at(toks, i + 2),
+        F.element_at(toks, i + 3),
+        F.element_at(toks, i + 4),
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(starts, lambda i: F.xxhash64(gram(i))))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         hash(ws[gs] || ' ' || ws[gs+1] || ' ' || ws[gs+2] || ' ' || ws[gs+3] || ' ' || ws[gs+4]) AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS gs) u
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 4) >= 0.2
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a fixed query vector (vec_id=0):
+    the exact ANN baseline. Dot/norms computed in float64 JVM-side via
+    F.zip_with + F.aggregate (no Python); the query vector is a
+    broadcast crossJoin of a 1-row DF."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    joined = emb.crossJoin(F.broadcast(q))
+    sim = joined.withColumn(
+        "sim",
+        F.round(
+            dot(F.col("v"), F.col("qv"))
+            / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))),
+            4,
+        ),
+    )
+    return (
+        sim.where(F.col("vec_id") != 0)
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .select("vec_id", "label", "sim")
+        .limit(10)
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 4) AS sim
+FROM embeddings
+WHERE vec_id <> 0
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, mean token length, digit ratio —
+    all JVM-side string expressions (no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    no_digits = F.regexp_replace(F.col("text"), r"[0-9]", "")
+    return docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.round(F.length("text").cast("double") / toks.cast("double"), 4).alias(
+            "mean_tok_len"
+        ),
+        F.round(
+            (F.length("text") - F.length(no_digits)).cast("double")
+            / F.length("text").cast("double"),
+            4,
+        ).alias("digit_ratio"),
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       round(CAST(length(text) AS DOUBLE) /
+             len(string_split_regex(trim(text), '\s+')), 4) AS mean_tok_len,
+       round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS digit_ratio
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the casefolded, punctuation-
+    stripped text (the normalize-then-hash half of rolling-hash dedup)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit voting via replace-and-measure
+    (pure string ops both sides; a real n-gram model would be a lookup
+    join against an n-gram frequency dim table — same plan shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+
+    def hits(word: str):
+        return (
+            (F.length(padded) - F.length(F.replace(padded, F.lit(f" {word} "), F.lit(" "))))
+            / F.lit(len(word) + 1)
+        ).cast("long")
+
+    en = (hits("the") + hits("a") + hits("of") + hits("and")).alias("en_hits")
+    return docs.select(
+        "doc_id",
+        "lang",
+        en,
+        F.when(
+            (hits("the") + hits("a") + hits("of") + hits("and")) > 0, F.lit("en")
+        ).otherwise(F.lit("other")).alias("predicted"),
+    )
+
+
+SQL_LANG_ID = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST((length(p) - length(replace(p, ' the ', ' '))) / 4
+            + (length(p) - length(replace(p, ' a ', ' '))) / 2
+            + (length(p) - length(replace(p, ' of ', ' '))) / 3
+            + (length(p) - length(replace(p, ' and ', ' '))) / 4 AS BIGINT) AS en_hits
+  FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents)
+)
+SELECT doc_id, lang, en_hits,
+       CASE WHEN en_hits > 0 THEN 'en' ELSE 'other' END AS predicted
+FROM h
+"""
+
+
+# =====================================================================
+# Catalog
+# =====================================================================
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name → (spark_fn, duckdb_oracle_sql | None for rows-only ops)
+CATALOG: dict[str, tuple[QueryFn, str | None]] = {
+    "admission_filter": (q_admission_filter, SQL_ADMISSION),
+    "doc_aggregates": (q_doc_aggregates, SQL_DOC_AGGREGATES),
+    "pagination_50": (q_pagination_50, SQL_PAGINATION_50),
+    "point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
+    "status_scan": (q_status_scan, SQL_STATUS_SCAN),
+    "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI_JOIN),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "top_customers_window": (q_top_customers_window, SQL_TOP_CUSTOMERS_WINDOW),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "lang_id_heuristic": (q_lang_id_heuristic, SQL_LANG_ID),
+}
+
+
+def spark_queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in CATALOG.items()}
+
+
+def duckdb_oracles() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in CATALOG.items() if sql is not None}

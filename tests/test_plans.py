@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the 100 TB story depends on these
+plan shapes, not just on correct rows (SURVEY.md §4.2; driver mandate
+'explain the plan and iterate until it's the plan you'd want')."""
+
+from __future__ import annotations
+
+import pytest
+
+from docling_pdf_spark.queries import (
+    q_dedup_exact,
+    q_point_lookup,
+    q_pricing_summary,
+    q_resume_anti_join,
+    q_top_orders,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(spark, fn) -> str:
+    df = fn(spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_point_lookup_pushes_predicate(spark):
+    plan = _plan(spark, q_point_lookup)
+    assert "EqualTo(doc_id,42)" in plan  # filter reaches the parquet scan
+    # column pruning: text column never read
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q1_pushes_date_filter_and_prunes(spark):
+    plan = _plan(spark, q_pricing_summary)
+    assert "LessThanOrEqual(l_shipdate" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read  # unused columns pruned from the scan
+
+
+def test_top_orders_broadcasts_dimension(spark):
+    plan = _plan(spark, q_top_orders)
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed
+
+
+def test_resume_anti_join_is_broadcast_anti(spark):
+    plan = _plan(spark, q_resume_anti_join)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_has_partial_aggregate(spark):
+    plan = _plan(spark, q_dedup_exact)
+    # partial+final hash aggregation (map-side combine before shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_aggregates_stay_in_codegen(spark):
+    # AQE hides codegen spans until execution → inspect the executed plan
+    df = q_pricing_summary(spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark whole-stage-codegen spans in plan toString
+    assert "*(1)" in executed and "*(2)" in executed
+    assert "partial_sum" in executed  # map-side combine before the shuffle
+
+
+@pytest.mark.parametrize("fn", [q_pricing_summary, q_dedup_exact])
+def test_no_python_in_relational_plans(spark, fn):
+    plan = _plan(spark, fn)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan  # relational queries never enter Python
