@@ -73,11 +73,49 @@ def _extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract(_interleaved_from_documents(spark, sf_dir), num_partitions=8)
 
 
+def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_pdf_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_dedup(docs, threshold=0.3)
+
+
+def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_pdf_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dups(simhash_fingerprints(docs), max_hamming=8)
+
+
+def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.operators.similarity import (
+        default_centroids,
+        ivf_assign,
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    cents = default_centroids(emb, n=16)
+    return ivf_cosine_topk(ivf_assign(emb, cents), cents, qv, k=10, nprobe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_pdf_spark.queries import spark_queries
 
     q = spark_queries()
+    # non-SQL-expressible ops (custom hash functions / UDF pipeline) —
+    # driver records the weaker rows-only check; full correctness is
+    # covered by tests/ (span equality, LSH recall, IVF recall)
     q["extract_interleaved"] = _extract_interleaved
+    q["minhash_lsh_dedup"] = _minhash_lsh
+    q["simhash_near_dups"] = _simhash_near_dups
+    q["ivf_ann_topk"] = _ivf_ann_topk
     return q
 
 

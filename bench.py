@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Per-round benchmark driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {name: sec}, "sf"}.
+
+Timing uses a noop-format write so every column is actually computed
+(a bare .count() would let Catalyst prune the work away). One warm-up
+job first spins up the JVM stages and the Python worker pool so the
+measured numbers are steady-state.
+
+The extraction headline runs the real mapInPandas pipeline over the
+deterministic fixture corpus (cached under .bench/, gitignored),
+replicated JVM-side to reach a meaningful task count. Two-cluster-size
+scaling evidence is produced separately by bench/scaling.py →
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_orders",
+    "top_customers_window",
+    "events_hourly",
+    "status_scan",
+    "pagination_50",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "ann_cosine_topk",
+    "text_quality",
+    "doc_fingerprint",
+    "lang_id_heuristic",
+]
+
+CORPUS_DOCS = 10_000
+REPLICATE = 4  # JVM-side copies of the corpus for the extraction headline
+
+
+def _noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ensure_corpus(path: str, n_docs: int) -> str:
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        from docling_pdf_spark.fixtures import write_corpus
+
+        write_corpus(path, n_docs)
+    return path
+
+
+def replicated_corpus(spark, path: str, replicate: int):
+    """Replicate the corpus JVM-side with distinct doc_ids (cheap scale
+    without Python-side generation cost)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if replicate <= 1:
+        return df
+    # spread the (single-file) corpus across all cores BEFORE the
+    # explode, otherwise the replicate runs on however few input
+    # splits the file yields (an Amdahl serial fraction)
+    n = spark.sparkContext.defaultParallelism * 2
+    return (
+        df.repartition(n)
+        .withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+        .withColumn("doc_id", F.concat_ws("#", "doc_id", F.col("_i").cast("string")))
+        .drop("_i")
+    )
+
+
+def warm_up(spark, cpus: int) -> None:
+    import pandas as pd
+
+    def touch(batches):
+        from docling_pdf_spark.core.batch import extract_pdf_batch  # noqa: F401
+
+        for b in batches:
+            yield pd.DataFrame({"id": b["id"][:1]})
+
+    spark.range(cpus * 4, numPartitions=cpus * 4).mapInPandas(
+        touch, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from docling_pdf_spark.pipeline import extract
+    from docling_pdf_spark.queries import spark_queries
+    from docling_pdf_spark.session import get_spark
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    corpus = ensure_corpus(os.path.join(repo, ".bench", f"corpus_{CORPUS_DOCS}.parquet"), CORPUS_DOCS)
+
+    spark = get_spark("bench", local_cores=cpus, shuffle_partitions=max(cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_up(spark, cpus)
+
+    timings: dict[str, float] = {}
+
+    # headline: the extraction pipeline itself
+    docs = replicated_corpus(spark, corpus, REPLICATE)
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    _noop_write(extract(docs, num_partitions=cpus * 3))
+    extract_sec = time.perf_counter() - t0
+    timings["extract_pipeline"] = round(extract_sec, 3)
+
+    q = spark_queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _noop_write(q[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extract_docs": n_docs,
+                "extract_docs_per_sec": round(n_docs / extract_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

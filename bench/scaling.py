@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north_rule: throughput scaling
+efficiency ≥0.8 between N and 4N executors).
+
+No real cluster exists in this sandbox, so per the driver instruction
+the same job runs at two parallelism levels — local[8] (=N) and
+local[32] (=4N) — in separate processes on the identical input, and we
+report docs/sec at both plus efficiency = (T_4N / T_N) / 4.
+
+Methodology notes (also in BENCH/BASELINE.md):
+  * separate process per level → no JVM/conf bleed-through;
+  * a warm-up mapInPandas job spins up the Python worker pool and JVM
+    JIT before the timed stage, so fixed startup cost (identical at
+    both levels) is excluded from the throughput measurement;
+  * the timed stage is the full pipeline: parquet scan → salted
+    repartition → mapInPandas extraction → noop write (all columns
+    computed).
+
+Usage:  python bench/scaling.py [--docs 20000] [--replicate 32]
+        (writes BENCH/scaling.json and BENCH/last_run.md; the curated
+        analysis lives in BENCH/BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_LEVELS = (8, 32)
+
+
+PARTITIONS_PER_CORE = 6  # fine tasks → better last-wave packing
+
+
+def worker(cores: int, corpus: str, replicate: int) -> None:
+    from bench import replicated_corpus, warm_up  # bench.py helpers
+
+    from docling_pdf_spark.pipeline import extract
+    from docling_pdf_spark.session import get_spark
+
+    spark = get_spark(f"scaling-{cores}", local_cores=cores,
+                      shuffle_partitions=max(cores, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    warm_up(spark, cores)
+
+    docs = replicated_corpus(spark, corpus, replicate)
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    extract(docs, num_partitions=cores * PARTITIONS_PER_CORE).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({"cores": cores, "n_docs": n_docs,
+                      "elapsed_sec": round(elapsed, 3),
+                      "docs_per_sec": round(n_docs / elapsed, 1)}))
+    spark.stop()
+
+
+def _has_taskset() -> bool:
+    import shutil
+
+    return shutil.which("taskset") is not None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=20_000)
+    ap.add_argument("--replicate", type=int, default=32)
+    ap.add_argument("--worker-cores", type=int, default=None)
+    ap.add_argument("--levels", type=int, nargs=2, default=list(DEFAULT_LEVELS),
+                    metavar=("N", "N4"), help="the two parallelism levels (N, 4N)")
+    ap.add_argument("--trials", type=int, default=1,
+                    help="runs per level; median docs/sec is reported "
+                         "(damps transient host interference)")
+    args = ap.parse_args()
+    levels = tuple(args.levels)
+
+    from bench import ensure_corpus
+
+    corpus = ensure_corpus(
+        os.path.join(REPO, ".bench", f"corpus_{args.docs}.parquet"), args.docs
+    )
+
+    if args.worker_cores:  # subprocess mode
+        worker(args.worker_cores, corpus, args.replicate)
+        return 0
+
+    results = {}
+    for cores in levels:
+        trials = []
+        # pin the whole process tree (JVM + python workers) to exactly
+        # `cores` hardware cores — otherwise local[8] borrows the other
+        # 24 cores for its Python workers and the baseline is inflated
+        # (a real 8-core executor has no spare cores to borrow)
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--docs", str(args.docs), "--replicate", str(args.replicate),
+               "--worker-cores", str(cores)]
+        if _has_taskset():
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        for _ in range(args.trials):
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, cwd=REPO, check=True,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            trials.append(json.loads(line))
+            print(line)
+        trials.sort(key=lambda t: t["docs_per_sec"])
+        results[cores] = dict(trials[len(trials) // 2], trials=len(trials))
+
+    n, n4 = levels
+    eff = (results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / (n4 / n)
+    summary = {
+        "levels": {str(k): v for k, v in results.items()},
+        "scaling_efficiency": round(eff, 3),
+        "passes_0.8_gate": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    _write_md(summary, args, levels)
+    return 0
+
+
+def _write_md(s: dict, args, levels=DEFAULT_LEVELS) -> None:
+    n, n4 = levels
+    a, b = s["levels"][str(n)], s["levels"][str(n4)]
+    md = f"""# BENCH/BASELINE.md — measured scaling evidence
+
+North-rule gate: throughput scaling efficiency ≥ 0.8 between N and 4N
+executors. No real cluster exists in this sandbox, so (per driver
+instruction) the SAME job ran at two parallelism levels in separate
+processes on identical input.
+
+**Job**: parquet scan → salted repartition → mapInPandas extraction
+(full strict/lenient/raw ladder, HTML strip, span encoding) → noop
+write. Input: deterministic fixture corpus, {args.docs} docs × {args.replicate}
+JVM-side replicas = {a["n_docs"]} documents (interleaved text/html/pdf/media,
+Zipf-skewed with 0.5% oversized cohort).
+
+| parallelism | documents | elapsed (s) | docs/sec |
+|---|---|---|---|
+| local[{n}]  (N)  | {a["n_docs"]} | {a["elapsed_sec"]} | {a["docs_per_sec"]} |
+| local[{n4}] (4N) | {b["n_docs"]} | {b["elapsed_sec"]} | {b["docs_per_sec"]} |
+
+**Scaling efficiency = ({b["docs_per_sec"]} / {a["docs_per_sec"]}) / 4 =
+{s["scaling_efficiency"]}** — gate ≥ 0.8: **{"PASS" if s["passes_0.8_gate"] else "FAIL"}**.
+
+Methodology: separate process per level (no JVM bleed-through); Python
+worker pool + JIT warmed by an untimed mapInPandas job before the timed
+stage; timed stage computes every output column (noop write, no count()
+shortcut). Reproduce: `python bench/scaling.py`.
+
+Reference baseline context (SURVEY.md §6): the reference publishes no
+benchmarks and its demo sleeps cap it below 1 doc/sec/process; the
+serial oracle (same semantics, one process) runs ≈1.0k docs/sec, so
+local[{n4}] at {b["docs_per_sec"]} docs/sec is a ≈{round(b["docs_per_sec"] / 1000, 1)}× speedup over
+the single-process semantics at this corpus mix.
+"""
+    with open(os.path.join(REPO, "BENCH", "last_run.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -39,6 +39,8 @@ RUNG_ORDER = (RUNG_NATIVE, RUNG_STRICT, RUNG_LENIENT, RUNG_RAW)
 
 # --- Spark-side tuning (SURVEY.md §4.3) ---
 SHUFFLE_PARTITIONS = 32
-ARROW_MAX_RECORDS_PER_BATCH = 256   # bound Arrow batch memory for fat docs
+ARROW_MAX_RECORDS_PER_BATCH = 1024  # rows/batch cap; actual memory is
+                                    # bounded by the byte-capped rechunk
+                                    # inside the UDF (pipeline.py)
 SALT_BUCKETS = 8                    # salts per cost bucket for skew taming
 OVERSIZE_COST_BUCKET_BYTES = 1 << 16  # docs above this get per-doc salting

@@ -90,6 +90,8 @@ _ESCAPES = {
 
 def _unescape(raw: bytes) -> str:
     """Decode a PDF literal string body (escapes + octal) to text."""
+    if b"\\" not in raw:  # fast path: nothing escaped
+        return raw.decode("utf-8", errors="replace")
     out = bytearray()
     i, n = 0, len(raw)
     while i < n:

@@ -161,6 +161,40 @@ def _adversarial_docs(rng: random.Random) -> list[dict]:
     ]
 
 
+MEDIA_ASSETS_PA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("media_kind", pa.string()),
+        ("data", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def gen_media_assets(n_assets: int, seed: int = SEED) -> pa.Table:
+    """Opaque binary media assets with typed metadata (multimodal
+    plumbing fixtures — payloads are deterministic pseudo-random bytes;
+    real codecs are stubbed per the environment constraints)."""
+    rng = random.Random(seed + 1)
+    rows = []
+    for i in range(n_assets):
+        kind = rng.choice(("image", "image", "image", "audio", "video"))
+        size = rng.randint(256, 8192) * (16 if rng.random() < 0.02 else 1)
+        rows.append(
+            {
+                "media_ref": f"img://doc-{i:08d}/{rng.randint(0, 9)}",
+                "media_kind": kind,
+                "data": rng.randbytes(size),
+                "width": rng.randint(16, 1024) if kind == "image" else None,
+                "height": rng.randint(16, 1024) if kind == "image" else None,
+                "duration_ms": rng.randint(1000, 60000) if kind != "image" else None,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_ASSETS_PA)
+
+
 def gen_documents(n_docs: int, seed: int = SEED, adversarial: bool = True) -> pa.Table:
     """Synthesize the corpus as a pyarrow Table (DOCUMENTS_PA schema)."""
     rng = random.Random(seed)

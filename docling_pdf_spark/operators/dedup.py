@@ -1,0 +1,193 @@
+"""Near-duplicate detection at scale: MinHash+LSH and SimHash.
+
+Both operators are pure DataFrame expressions (xxhash64, bit ops,
+aggregates) — no Python in the hot path, so they stay in whole-stage
+codegen and scale with the shuffle, not the GIL.
+
+Scale shape (100 TB story):
+  * MinHash: one explode(shingles) → groupBy(doc_id) partial-agg for
+    the K min-hashes (map-side combine keeps the shuffle at
+    |docs|×K longs, NOT |shingles|); band self-join shuffles on the
+    band hash — exactly the LSH bucket join from the MinHash/LSH
+    literature (Broder 1997; Leskovec-Rajaraman-Ullman ch.3).
+  * SimHash (Charikar 2002; Manku et al. WWW'07 for the Hamming-
+    chunk trick): 64 bit-vote aggregates per doc, then candidate
+    pairs via equality on any of four 16-bit chunks — the standard
+    way to make Hamming-distance search joinable.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_WORDS = 5
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle_hash) — distinct word-5-gram xxhash64 shingles."""
+    toks = F.split(F.col(text_col), " ")
+    starts = F.when(
+        F.size(toks) >= SHINGLE_WORDS,
+        F.sequence(F.lit(1), F.size(toks) - (SHINGLE_WORDS - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k) for k in range(SHINGLE_WORDS)]
+    )
+    return docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.transform(starts, lambda i: F.xxhash64(gram(i))))
+        ).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """K permutation-free min-hashes: h_i(s) = xxhash64(s, i); one
+    groupBy with K min() aggregates (partial+final, map-side combine)."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature matrix (bands × rows), bucket-join on band
+    hash, return candidate pairs with the minhash-estimated Jaccard."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(id_col, *[F.col(f"mh_{i}") for i in range(num_hashes)], *band_cols)
+    melted = banded.select(
+        id_col,
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("bucket"),
+    )
+    a = melted.alias("a")
+    b = melted.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs above a Jaccard estimate."""
+    sigs = minhash_signatures(shingles(docs, id_col, text_col), num_hashes, id_col)
+    pairs = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
+    return pairs.where(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------- simhash
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, each bit votes ±1,
+    fingerprint bit b = 1 iff the vote sum is positive. All 64 votes are
+    one groupBy with 64 sum() aggregates — JVM-side, partial+final."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    h = F.xxhash64("w")
+    votes = [
+        F.sum(
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"v_{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(F.col(f"v_{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63
+                   else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dups(
+    fps: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs via equality on any 16-bit chunk of the
+    fingerprint (Manku et al.: hamming ≤ 3 ⇒ at least one of 4 chunks
+    identical), verified with bit_count(xor) ≤ max_hamming."""
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * c)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"c{c}")
+            for c in range(4)
+        ]
+    )
+    melted = fps.select(
+        id_col, "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    a = melted.alias("a")
+    b = melted.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

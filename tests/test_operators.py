@@ -1,0 +1,164 @@
+"""Operator tests: MinHash-LSH / SimHash dedup, IVF ANN, multimodal
+plumbing (driver-mandated training-data pipeline components)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from docling_pdf_spark.fixtures import gen_media_assets
+from docling_pdf_spark.operators.dedup import (
+    minhash_lsh_dedup,
+    simhash_fingerprints,
+    simhash_near_dups,
+)
+from docling_pdf_spark.operators.multimodal import (
+    link_media_to_documents,
+    media_features,
+)
+from docling_pdf_spark.operators.similarity import (
+    cosine_topk,
+    default_centroids,
+    ivf_assign,
+    ivf_cosine_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles partitions across the cluster and the arrow batches flow "
+    "through vectorized pipelines without touching python at all"
+)
+
+
+@pytest.fixture()
+def dup_docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                                    # exact dup of 1
+        (3, BASE.replace("lazy", "sleepy")),          # near dup of 1
+        (4, "completely different text about nothing much at all here body"),
+        (5, "another unrelated document mentioning entirely other things okay"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# ------------------------------------------------------------- minhash
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(dup_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_dedup(dup_docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup: all minhashes agree
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.3  # near dup caught
+    assert (4, 5) not in pairs  # unrelated docs not paired
+
+
+def test_minhash_estimate_tracks_true_jaccard(dup_docs):
+    from docling_pdf_spark.operators.dedup import SHINGLE_WORDS
+
+    def shingle_set(text: str) -> set[str]:
+        w = text.split(" ")
+        return {
+            " ".join(w[i : i + SHINGLE_WORDS])
+            for i in range(len(w) - SHINGLE_WORDS + 1)
+        }
+
+    a, b = shingle_set(BASE), shingle_set(BASE.replace("lazy", "sleepy"))
+    true_j = len(a & b) / len(a | b)
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_lsh_dedup(dup_docs, threshold=0.0).collect()
+    }[(1, 3)]
+    assert abs(est - true_j) < 0.25  # 32 hashes → ±~2σ tolerance
+
+
+# ------------------------------------------------------------- simhash
+
+
+def test_simhash_deterministic_and_orders_by_similarity(spark, dup_docs):
+    fps = simhash_fingerprints(dup_docs)
+    vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert vals[1] == vals[2]  # identical text → identical fingerprint
+    ham = lambda x, y: bin((x ^ y) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(vals[1], vals[3]) < ham(vals[1], vals[4])
+    # determinism across runs
+    vals2 = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(dup_docs).collect()}
+    assert vals == vals2
+
+
+def test_simhash_near_dups_pairs(dup_docs):
+    fps = simhash_fingerprints(dup_docs)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_near_dups(fps, max_hamming=8).collect()}
+    assert got[(1, 2)] == 0
+    assert (4, 5) not in got
+
+
+# ---------------------------------------------------------------- ANN
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(emb, list(qv), k=10).collect()]
+
+    cents = default_centroids(emb, n=16)
+    assigned = ivf_assign(emb, cents)
+    approx = [
+        r["vec_id"]
+        for r in ivf_cosine_topk(assigned, cents, list(qv), k=10, nprobe=4).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5  # IVF with nprobe=4/16 buckets on this corpus
+    # every vector lands in exactly one bucket
+    assert assigned.count() == emb.count()
+    assert assigned.select("bucket").distinct().count() <= 16
+
+
+def test_brute_force_topk_matches_query_itself(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = list(emb.where(F.col("vec_id") == 7).collect()[0]["embedding"])
+    top = cosine_topk(emb, qv, k=3).collect()
+    assert top[0]["vec_id"] == 7 and top[0]["sim"] == 1.0
+
+
+# --------------------------------------------------------- multimodal
+
+
+def test_media_features_plumbing(spark, tmp_path):
+    path = str(tmp_path / "assets.parquet")
+    pq.write_table(gen_media_assets(200), path)
+    assets = spark.read.parquet(path)
+    feats = media_features(assets).collect()
+    assert len(feats) == 200
+    for r in feats[:20]:
+        assert abs(sum(r["byte_hist"]) - 1.0) < 1e-4  # normalized histogram
+        assert 0.0 <= r["byte_entropy"] <= 4.0 + 1e-6  # 16 bins → ≤ 4 bits
+        assert r["n_bytes"] > 0
+
+
+def test_decode_stubs_are_marked(spark):
+    from docling_pdf_spark.operators.multimodal import decode_image, sample_video_frames
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x00")
+
+
+def test_link_media_to_documents(spark, tmp_path):
+    import __spark_entry__ as se
+
+    extracted = se.entry(spark)  # sf0.001-derived: every doc has one media span
+    path = str(tmp_path / "assets.parquet")
+    pq.write_table(gen_media_assets(50), path)
+    feats = media_features(spark.read.parquet(path))
+    linked = link_media_to_documents(extracted, feats)
+    rows = linked.collect()
+    assert len(rows) == 500  # one media span per doc, join preserves all (left)
+    assert {r["span_kind"] for r in rows} == {"media"}

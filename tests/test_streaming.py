@@ -1,0 +1,90 @@
+"""Structured Streaming: incremental extraction equals batch extraction;
+watermarked window agg is streaming-safe (SURVEY.md §2b streaming row)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from docling_pdf_spark.fixtures import gen_documents
+from docling_pdf_spark.pipeline import extract
+from docling_pdf_spark.streaming import extract_stream, windowed_event_counts
+
+
+@pytest.fixture(scope="module")
+def stream_corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream-in")
+    # two "arriving" files
+    t = gen_documents(60, adversarial=False)
+    pq.write_table(t.slice(0, 30), str(d / "part-0.parquet"))
+    pq.write_table(t.slice(30, 30), str(d / "part-1.parquet"))
+    return str(d)
+
+
+def test_stream_extract_equals_batch(spark, stream_corpus, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = extract_stream(spark, stream_corpus, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["n_chars"], r["extraction_method"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_chars"], r["extraction_method"])
+        for r in extract(spark.read.parquet(stream_corpus)).collect()
+    }
+    assert got == want
+
+
+def test_stream_resumes_from_checkpoint(spark, stream_corpus, tmp_path):
+    """A second availableNow run over the same input is a no-op (file
+    source checkpoint remembers processed files) — the streaming analog
+    of the batch manifest resume."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    extract_stream(spark, stream_corpus, out, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    extract_stream(spark, stream_corpus, out, ckpt).awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == 60
+
+
+def test_windowed_event_counts_streaming_plan(spark, tmp_path):
+    """The watermarked window agg compiles as a streaming plan and,
+    run availableNow over the events table, matches the batch result."""
+    src = "/root/testdata/sf0.001"
+    events_dir = str(tmp_path / "events-in")
+    os.makedirs(events_dir)
+    import shutil
+
+    shutil.copy(f"{src}/events.parquet", f"{events_dir}/events.parquet")
+
+    batch = windowed_event_counts(spark.read.parquet(f"{src}/events.parquet"))
+    expected = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+                for r in batch.collect()}
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(f"{src}/events.parquet").schema
+    ).parquet(events_dir)
+    out = str(tmp_path / "win-out")
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "win-ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has closed; with a
+    # finite file source every window except the max-ts one is closed
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+           for r in spark.read.parquet(out).collect()}
+    assert got
+    for k, v in got.items():
+        assert expected[k] == v
