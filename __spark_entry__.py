@@ -21,6 +21,35 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make docling_pdf_spark importable in executor Python workers even
+    when the harness built its own SparkSession (no PYTHONPATH export):
+    zip the package once and addPyFile it — the runtime equivalent of
+    `spark-submit --py-files dist/docling_pdf_spark.zip`."""
+    flag = "_docling_pdf_spark_shipped"
+    if getattr(spark, flag, False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docling_pdf_spark")
+    zip_path = os.path.join(tempfile.gettempdir(), "docling_pdf_spark_pyfiles.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(zip_path + ".tmp", zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+    setattr(spark, flag, True)
+
+
 def _interleaved_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically wrap the driver's flat documents table into the
     north-rule interleaved span shape (doc_id, spans) — one text span,
@@ -60,6 +89,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction pipeline on sf0.001-derived span table."""
     from docling_pdf_spark.pipeline import extract
 
+    _ship_package(spark)
     docs = _interleaved_from_documents(spark, "/root/testdata/sf0.001")
     return extract(docs, num_partitions=8)
 
@@ -70,6 +100,7 @@ def _extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle span-equality suite in tests/)."""
     from docling_pdf_spark.pipeline import extract
 
+    _ship_package(spark)
     return extract(_interleaved_from_documents(spark, sf_dir), num_partitions=8)
 
 

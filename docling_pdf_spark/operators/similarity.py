@@ -14,18 +14,11 @@ array<double>; no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _dot(x: Column, y: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-    )
-
-
-def _norm(x: Column) -> Column:
-    return F.sqrt(_dot(x, x))
+from docling_pdf_spark.functions.vectors import dot as _dot
+from docling_pdf_spark.functions.vectors import l2_norm as _norm
 
 
 def cosine_topk(

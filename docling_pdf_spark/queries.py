@@ -28,6 +28,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from docling_pdf_spark.functions.text import (
+    digit_ratio,
+    normalized_fingerprint,
+    stopword_hits,
+    token_count,
+)
+from docling_pdf_spark.functions.vectors import dot as vdot
+from docling_pdf_spark.functions.vectors import l2_norm
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -401,20 +410,12 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", F.col("embedding").cast("array<double>")
     )
     q = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     joined = emb.crossJoin(F.broadcast(q))
     sim = joined.withColumn(
         "sim",
         F.round(
-            dot(F.col("v"), F.col("qv"))
-            / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))),
+            vdot(F.col("v"), F.col("qv"))
+            / (l2_norm(F.col("v")) * l2_norm(F.col("qv"))),
             4,
         ),
     )
@@ -441,19 +442,14 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, mean token length, digit ratio —
     all JVM-side string expressions (no UDF)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    no_digits = F.regexp_replace(F.col("text"), r"[0-9]", "")
+    toks = token_count("text")
     return docs.select(
         "doc_id",
         toks.alias("n_tokens"),
         F.round(F.length("text").cast("double") / toks.cast("double"), 4).alias(
             "mean_tok_len"
         ),
-        F.round(
-            (F.length("text") - F.length(no_digits)).cast("double")
-            / F.length("text").cast("double"),
-            4,
-        ).alias("digit_ratio"),
+        F.round(digit_ratio("text"), 4).alias("digit_ratio"),
     )
 
 
@@ -472,8 +468,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the casefolded, punctuation-
     stripped text (the normalize-then-hash half of rolling-hash dedup)."""
     docs = _t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", "")
-    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+    return docs.select("doc_id", normalized_fingerprint("text").alias("fingerprint"))
 
 
 SQL_DOC_FINGERPRINT = """
@@ -487,13 +482,9 @@ def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pure string ops both sides; a real n-gram model would be a lookup
     join against an n-gram frequency dim table — same plan shape)."""
     docs = _t(spark, sf_dir, "documents")
-    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
 
     def hits(word: str):
-        return (
-            (F.length(padded) - F.length(F.replace(padded, F.lit(f" {word} "), F.lit(" "))))
-            / F.lit(len(word) + 1)
-        ).cast("long")
+        return stopword_hits("text", word)
 
     en = (hits("the") + hits("a") + hits("of") + hits("and")).alias("en_hits")
     return docs.select(
@@ -521,6 +512,122 @@ FROM h
 """
 
 
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream table: a new
+    session starts after >30 min of user inactivity (lag window). The
+    batch formulation of what applyInPandasWithState would maintain
+    incrementally; one shuffle on user_id serves both window and agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZATION = """
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+FROM (
+  SELECT user_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts - lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+GROUP BY user_id
+"""
+
+
+def q_set_ops_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage: purchasers who never clicked
+    (EXCEPT/subtract) unioned with signups who also erred (INTERSECT)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def users(t: str) -> DataFrame:
+        return ev.where(F.col("event_type") == t).select("user_id").distinct()
+
+    quiet_buyers = users("purchase").subtract(users("click")).withColumn(
+        "cohort", F.lit("quiet_buyer")
+    )
+    erroring_signups = users("signup").intersect(users("error")).withColumn(
+        "cohort", F.lit("erroring_signup")
+    )
+    return quiet_buyers.unionByName(erroring_signups)
+
+
+SQL_SET_OPS = """
+SELECT user_id, 'quiet_buyer' AS cohort FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+)
+UNION ALL
+SELECT user_id, 'erroring_signup' AS cohort FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function coverage over the vector table: dimension, L2
+    norm, max component — all higher-order array expressions, JVM-side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm(v), 4).alias("l2_norm"),
+        F.round(F.array_max(v), 4).alias("max_component"),
+    )
+
+
+SQL_EMBEDDING_STATS = """
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 4) AS l2_norm,
+       round(list_max(CAST(embedding AS DOUBLE[])), 4) AS max_component
+FROM embeddings
+"""
+
+
+def q_parts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String+agg coverage on the part dim: per type-prefix rollup with
+    decimal-exact price stats."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.withColumn("type_prefix", F.split(F.col("p_type"), " ")[0])
+        .groupBy("type_prefix")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.max("p_size").alias("max_size"),
+            F.min(F.upper(F.col("p_brand"))).alias("first_brand"),
+        )
+    )
+
+
+SQL_PARTS_BY_TYPE = """
+SELECT string_split(p_type, ' ')[1] AS type_prefix,
+       count(*) AS n_parts,
+       sum(CAST(p_retailprice AS DECIMAL(18,2))) AS sum_price,
+       max(p_size) AS max_size,
+       min(upper(p_brand)) AS first_brand
+FROM part GROUP BY 1
+"""
+
+
 # =====================================================================
 # Catalog
 # =====================================================================
@@ -545,6 +652,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "lang_id_heuristic": (q_lang_id_heuristic, SQL_LANG_ID),
+    "sessionization": (q_sessionization, SQL_SESSIONIZATION),
+    "set_ops_purchasers": (q_set_ops_purchasers, SQL_SET_OPS),
+    "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+    "parts_by_type": (q_parts_by_type, SQL_PARTS_BY_TYPE),
 }
 
 

@@ -18,10 +18,19 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def _plan(spark, fn) -> str:
-    df = fn(spark, SF_DIR)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    from docling_pdf_spark.plans import formatted_plan
+
+    return formatted_plan(fn(spark, SF_DIR))
+
+
+def test_plan_report_scorecard(spark):
+    from docling_pdf_spark.plans import plan_report
+
+    rep = plan_report(q_top_orders(spark, SF_DIR))
+    assert rep["has_pushdown"]
+    assert rep["broadcast_joins"] >= 1
+    assert rep["python_stages"] == 0
+    assert rep["scans"] >= 3  # 3 tables (tree + detail sections both count)
 
 
 def test_point_lookup_pushes_predicate(spark):
