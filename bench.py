@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "text_quality",
     "doc_fingerprint",
     "lang_id_heuristic",
+    "sessionization",
+    "set_ops_purchasers",
+    "embedding_stats",
+    "parts_by_type",
 ]
 
 CORPUS_DOCS = 10_000

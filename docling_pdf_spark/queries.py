@@ -353,6 +353,17 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingle"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    # only shingles shared by ≥2 docs can produce a pair — pre-filtering
+    # on the (combinable, tiny) shingle-count aggregate keeps the
+    # self-join shuffle at |shared shingles| instead of |all shingles|
+    # (at 100 TB that is the whole game; result set is identical)
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("shingle")
+    )
+    sh = sh.join(shared, "shingle")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -11,3 +11,4 @@ from docling_pdf_spark.streaming.jobs import (  # noqa: F401
     extract_stream,
     windowed_event_counts,
 )
+from docling_pdf_spark.streaming.stateful import streaming_dedup  # noqa: F401

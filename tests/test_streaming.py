@@ -88,3 +88,52 @@ def test_windowed_event_counts_streaming_plan(spark, tmp_path):
     assert got
     for k, v in got.items():
         assert expected[k] == v
+
+
+def test_streaming_dedup_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates split across two
+    micro-batches (maxFilesPerTrigger=1) are still emitted exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_spark.streaming import streaming_dedup
+
+    d = tmp_path / "in"
+    d.mkdir()
+    schema = pa.schema([("doc_id", pa.string()), ("text", pa.string())])
+    # batch 1: A, B, A-dup   batch 2: B-dup, C
+    pq.write_table(
+        pa.table({"doc_id": ["a1", "b1", "a2"],
+                  "text": ["Alpha text!", "Beta text?", "alpha TEXT"]}, schema=schema),
+        str(d / "f0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"doc_id": ["b2", "c1"],
+                  "text": ["beta Text", "Gamma text"]}, schema=schema),
+        str(d / "f1.parquet"),
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {r["fingerprint"]: r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # 3 distinct normalized fingerprints (alpha/beta/gamma), each once
+    assert len(rows) == 3
+    assert set(rows.values()) <= {"a1", "a2", "b1", "b2", "c1"}
+    # the cross-batch duplicate (beta in batch 2) was suppressed:
+    docs = sorted(rows.values())
+    assert "c1" in docs
