@@ -72,8 +72,11 @@ def replicated_corpus(spark, path: str, replicate: int):
         return df
     # spread the (single-file) corpus across all cores BEFORE the
     # explode, otherwise the replicate runs on however few input
-    # splits the file yields (an Amdahl serial fraction)
-    n = spark.sparkContext.defaultParallelism * 2
+    # splits the file yields (an Amdahl serial fraction). Fine-grained
+    # (6× cores): these partitions feed the UDF stage's light branch
+    # directly in heavy-only salt mode, and coarse tasks there turn
+    # into last-wave stragglers.
+    n = spark.sparkContext.defaultParallelism * 6
     return (
         df.repartition(n)
         .withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))

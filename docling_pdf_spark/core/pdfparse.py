@@ -116,22 +116,26 @@ def _unescape(raw: bytes) -> str:
     return out.decode("utf-8", errors="replace")
 
 
+_OP_RE = re.compile(
+    rb"([-\d.]+)\s+([-\d.]+)\s+Td"           # position op
+    rb"|\(((?:\\.|[^\\()])*)\)\s*Tj"         # show-text op
+)
+
+
 def _text_boxes(stream: bytes) -> list[tuple[float, float, str]]:
-    """Extract (x, y, text) boxes from one content stream."""
+    """Extract (x, y, text) boxes from one content stream — single pass
+    over Td/Tj ops in order (each Tj takes the last Td before it)."""
     boxes: list[tuple[float, float, str]] = []
     for bt in _BT_RE.finditer(stream):
-        body = bt.group(1)
         x = y = 0.0
-        pos = 0
-        for m in _TJ_RE.finditer(body):
-            tds = list(_TD_RE.finditer(body, pos, m.start()))
-            if tds:
+        for m in _OP_RE.finditer(bt.group(1)):
+            if m.group(3) is not None:  # Tj
+                boxes.append((x, y, _unescape(m.group(3))))
+            else:  # Td
                 try:
-                    x, y = float(tds[-1].group(1)), float(tds[-1].group(2))
+                    x, y = float(m.group(1)), float(m.group(2))
                 except ValueError:
                     pass
-            boxes.append((x, y, _unescape(m.group(1))))
-            pos = m.end()
     return boxes
 
 

@@ -67,3 +67,41 @@ def test_malformed_html_never_raises():
     assert isinstance(extract_html("<p><b>unclosed <table><tr><td>x"), list)
     assert extract_html("") == []
     assert extract_html(None) == []
+
+
+def test_fast_engine_equals_stdlib_on_corpus():
+    """The regex tokenizer and html.parser must produce identical block
+    streams over every html payload in a 3000-doc fixture corpus."""
+    from docling_pdf_spark.fixtures import gen_documents
+
+    t = gen_documents(3000, adversarial=False).to_pylist()
+    htmls = [s["text"] for row in t for s in row["spans"] if s["kind"] == "html"]
+    assert len(htmls) > 500
+    for h in htmls:
+        fast = [(b.kind, b.text, b.media_ref) for b in extract_html(h, "fast")]
+        std = [(b.kind, b.text, b.media_ref) for b in extract_html(h, "stdlib")]
+        assert fast == std
+
+
+def test_fast_engine_equals_stdlib_on_nasty_cases():
+    cases = [
+        "",
+        "plain text no tags at all but quite long enough to keep here",
+        "<p>entity &amp; test &lt;kept&gt; long enough to pass density</p>",
+        "<!-- comment --><p>after a comment this is long enough to keep</p>",
+        "<script>if (a<b) { x = '</div>'; }</script><p>content after script block here</p>",
+        "<style>p > a { color: red }</style><p>content after style block okay</p>",
+        "<p>unclosed paragraph that never ends and is long enough to keep",
+        "<P>UPPERCASE tags should work the same way here alright then</P>",
+        "<img src='x.png' alt='a figure'/><p>self closing img then text long enough</p>",
+        "<img src=bare.png alt=word><p>bare attrs image then enough text to keep</p>",
+        "<table><tr><td>a &amp; b</td></tr></table>",
+        "<div><p>nested <a href='#'>link text</a> inside paragraph long enough</p></div>",
+        "<![CDATA[ raw <p>stuff</p> ]]><p>after cdata block this text is long enough</p>",
+        "<?xml version='1.0'?><p>after processing instruction long enough to keep</p>",
+        "<p>broken < angle bracket inside text long enough to keep around</p>",
+    ]
+    for h in cases:
+        fast = [(b.kind, b.text, b.media_ref) for b in extract_html(h, "fast")]
+        std = [(b.kind, b.text, b.media_ref) for b in extract_html(h, "stdlib")]
+        assert fast == std, h
