@@ -150,21 +150,19 @@ class _Extractor(HTMLParser):
 import re
 from html import unescape as _unescape_entities
 
-_TAG_RE = re.compile(
-    r"<!--.*?-->"                      # comments
-    r"|<!\[CDATA\[.*?\]\]>"            # CDATA
-    r"|<![^>]*>"                       # doctype / other declarations
-    r"|<\?[^>]*>"                      # processing instructions
-    r"|</\s*([a-zA-Z][a-zA-Z0-9:-]*)[^>]*>"                       # close tag
-    r"|<([a-zA-Z][a-zA-Z0-9:-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>",  # open tag
-    re.S,
-)
-_ATTR_RE = re.compile(
-    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))"
-)
+# tokenization fidelity: reuse html.parser's OWN compiled tolerant
+# regexes for tag-end location and attribute parsing, so malformed
+# markup tokenizes byte-identically to the stdlib path — the speedup
+# comes from replacing the per-character goahead() event loop with one
+# regex scan per construct, not from different grammar rules.
+from html import parser as _hp
+
+_LT_RE = re.compile(r"<")
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+_DECL_CLOSE = re.compile(r">")
 _RAWTEXT_CLOSE = {
-    "script": re.compile(r"</\s*script\s*>", re.I),
-    "style": re.compile(r"</\s*style\s*>", re.I),
+    "script": re.compile(r"</\s*script", re.I),
+    "style": re.compile(r"</\s*style", re.I),
 }
 
 
@@ -173,42 +171,100 @@ def _emit_data(machine: _Extractor, text: str) -> None:
         machine.handle_data(_unescape_entities(text) if "&" in text else text)
 
 
-def _fast_feed(machine: _Extractor, html: str) -> None:
+def _eof_recover(machine: _Extractor, html: str, i: int) -> int:
+    """stdlib goahead() recovery for an unclosed construct at EOF:
+    emit raw data up to the first '>' (else next '<', else one char)
+    and resume there (html.parser goahead, k<0 branch)."""
+    gt = html.find(">", i + 1)
+    if gt >= 0:
+        k = gt + 1
+    else:
+        lt2 = html.find("<", i + 1)
+        k = lt2 if lt2 >= 0 else i + 1
+    machine.handle_data(html[i:k])  # raw: stdlib recovery skips unescape
+    return k
+
+
+def _fast_feed(machine: _Extractor, html: str) -> None:  # noqa: C901
     pos = 0
     n = len(html)
     while pos < n:
-        m = _TAG_RE.search(html, pos)
-        if m is None:
+        lt = html.find("<", pos)
+        if lt < 0:
             _emit_data(machine, html[pos:])
             return
-        if m.start() > pos:
-            _emit_data(machine, html[pos : m.start()])
-        pos = m.end()
-        close_name, open_name, attr_str, self_close = m.group(1, 2, 3, 4)
-        if close_name is not None:
-            machine.handle_endtag(close_name.lower())
+        if lt > pos:
+            _emit_data(machine, html[pos:lt])
+        pos = lt
+        nxt = html[lt + 1 : lt + 2]
+        if nxt == "/":  # end tag (stdlib endtagfind semantics)
+            m = _hp.endtagfind.match(html, lt)
+            if m:
+                machine.handle_endtag(m.group(1).lower())
+                pos = m.end()
+            else:  # tolerant bogus end tag: skip to '>'
+                gt = html.find(">", lt)
+                if gt < 0:
+                    _emit_data(machine, html[lt:])
+                    return
+                pos = gt + 1
             continue
-        if open_name is None:
-            continue  # comment / doctype / PI
-        tag = open_name.lower()
-        attrs = (
-            [(a[0].lower(), a[1] or a[2] or a[3]) for a in _ATTR_RE.findall(attr_str)]
-            if (attr_str and tag == "img")
-            else []
-        )
+        if nxt == "!":
+            if html.startswith("<!--", lt):
+                m = _COMMENT_CLOSE.search(html, lt + 4)
+                pos = m.end() if m else _eof_recover(machine, html, lt)
+            else:  # declaration / bogus comment: to first '>'
+                m = _DECL_CLOSE.search(html, lt + 2)
+                pos = m.end() if m else _eof_recover(machine, html, lt)
+            continue
+        if nxt == "?":
+            m = _hp.piclose.search(html, lt + 2)
+            pos = m.end() if m else _eof_recover(machine, html, lt)
+            continue
+        tm = _hp.tagfind_tolerant.match(html, lt + 1)
+        if not tm:  # bare '<' in text
+            _emit_data(machine, "<")
+            pos = lt + 1
+            continue
+        em = _hp.locatestarttagend_tolerant.match(html, lt)
+        end = em.end() if em else lt
+        if html.startswith(">", end):
+            end += 1
+            self_close = False
+        elif html.startswith("/>", end):
+            end += 2
+            self_close = True
+        else:  # unterminated start tag: stdlib emits it as data
+            _emit_data(machine, html[lt : lt + 1])
+            pos = lt + 1
+            continue
+        tag = tm.group(1).lower()
+        attrs = []
+        if tag == "img":  # attrs only materialized where consumed
+            k = tm.end()
+            while k < end - 1:
+                am = _hp.attrfind_tolerant.match(html, k)
+                if not am:
+                    break
+                name, rest = am.group(1).lower(), am.group(3)
+                if rest and rest[:1] in "'\"" and rest[-1:] == rest[:1]:
+                    rest = rest[1:-1]
+                attrs.append((name, _unescape_entities(rest) if rest and "&" in rest else rest))
+                k = am.end()
         machine.handle_starttag(tag, attrs)
+        pos = end
         if self_close:
             machine.handle_endtag(tag)
             continue
-        if tag in _RAWTEXT_CLOSE:  # script/style content is raw text
+        if tag in _RAWTEXT_CLOSE:  # script/style content is raw text (CDATA mode)
             cm = _RAWTEXT_CLOSE[tag].search(html, pos)
             if cm is None:
                 machine.handle_data(html[pos:])
-                machine.handle_endtag(tag)
-                return
+                return  # stdlib leaves the tag unclosed at EOF
             machine.handle_data(html[pos : cm.start()])
+            gt = html.find(">", cm.start())
             machine.handle_endtag(tag)
-            pos = cm.end()
+            pos = (gt + 1) if gt >= 0 else n
 
 
 def extract_html(html: str, engine: str = "fast") -> list[HtmlBlock]:

@@ -163,6 +163,7 @@ def run_extraction(
     buckets_per_commit: int | None = None,
     input_snapshot: str | None = None,
     fail_after_commits: int | None = None,
+    salt_mode: str = "heavy",
 ) -> ProgressLog:
     """Checkpointed batch extraction with per-bucket resume.
 
@@ -178,25 +179,44 @@ def run_extraction(
     log = ProgressLog(checkpoint_dir)
     done = log.done_buckets()
 
+    from docling_pdf_spark.sources.io import file_fingerprint
+
+    current_snapshot = input_snapshot or file_fingerprint(input_path)
+    # lineage guard: a completed bucket whose manifest was produced from
+    # a DIFFERENT input snapshot must not be silently skipped — the
+    # resume would stitch outputs of two different inputs together
+    stale = [
+        m.partition_id
+        for m in log.all_manifests()
+        if m.status == "done"
+        and m.lineage.get("input_snapshot") not in (None, current_snapshot)
+    ]
+    if stale:
+        raise RuntimeError(
+            f"input snapshot changed since buckets {sorted(stale)} were "
+            f"committed (manifest lineage mismatch); clear {checkpoint_dir} "
+            "or pass the original input"
+        )
+
     docs = spark.read.parquet(input_path)
     docs = docs.withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)))
     pending = [b for b in range(n_buckets) if b not in done]
     if not pending:
         return log
 
-    from docling_pdf_spark.sources.io import file_fingerprint
-
     # real lineage token (Iceberg snapshot id in catalog mode; file
-    # fingerprint in the parquet fallback) — resume can detect that the
-    # input changed underneath a completed bucket
-    snapshot = input_snapshot or file_fingerprint(input_path)
+    # fingerprint in the parquet fallback) — resume detects when the
+    # input changed underneath a completed bucket (guard above)
+    snapshot = current_snapshot
     group_size = buckets_per_commit or len(pending)
     groups = [pending[i : i + group_size] for i in range(0, len(pending), group_size)]
 
     for gi, group in enumerate(groups):
         started = _utcnow_iso(spark)
         sub = docs.where(F.col("bucket").isin([int(b) for b in group]))
-        out = extract(sub.drop("bucket"), num_partitions=num_partitions)
+        out = extract(
+            sub.drop("bucket"), num_partitions=num_partitions, salt_mode=salt_mode
+        )
         out = out.withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
         )

@@ -639,6 +639,28 @@ FROM part GROUP BY 1
 """
 
 
+def q_top_tokens_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map coverage: per-language top-10 token frequencies via
+    applyInPandas (docling_pdf_spark.operators.textstats) — one shuffle
+    on lang, vectorized pandas kernel per group."""
+    from docling_pdf_spark.operators.textstats import top_tokens_per_language
+
+    return top_tokens_per_language(_t(spark, sf_dir, "documents"), k=10)
+
+
+SQL_TOP_TOKENS = r"""
+SELECT lang, CAST(rank AS INTEGER) AS rank, token, freq FROM (
+  SELECT lang, token, count(*) AS freq,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY count(*) DESC, token) AS rank
+  FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents)
+  WHERE token <> ''
+  GROUP BY lang, token
+) WHERE rank <= 10
+"""
+
+
 # =====================================================================
 # Catalog
 # =====================================================================
@@ -667,6 +689,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "set_ops_purchasers": (q_set_ops_purchasers, SQL_SET_OPS),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
     "parts_by_type": (q_parts_by_type, SQL_PARTS_BY_TYPE),
+    "top_tokens_per_language": (q_top_tokens_per_language, SQL_TOP_TOKENS),
 }
 
 

@@ -35,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets-per-commit", type=int, default=None)
     ap.add_argument("--local-cores", type=int, default=None,
                     help="force local[N] master (omit on a real cluster)")
+    ap.add_argument("--salt-mode", choices=("heavy", "full", "none"), default="heavy",
+                    help="skew taming: heavy=shuffle only oversized docs "
+                         "(default), full=uniform salt shuffle (cost-sorted "
+                         "layouts), none=trust input partitioning")
     ap.add_argument("--gen-docs", type=int, default=None,
                     help="synthesize a deterministic corpus at --input first")
     args = ap.parse_args(argv)
@@ -57,6 +61,7 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets,
         num_partitions=args.num_partitions,
         buckets_per_commit=args.buckets_per_commit,
+        salt_mode=args.salt_mode,
     )
     elapsed = time.perf_counter() - t0
     manifests = log.all_manifests()

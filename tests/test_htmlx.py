@@ -105,3 +105,31 @@ def test_fast_engine_equals_stdlib_on_nasty_cases():
         fast = [(b.kind, b.text, b.media_ref) for b in extract_html(h, "fast")]
         std = [(b.kind, b.text, b.media_ref) for b in extract_html(h, "stdlib")]
         assert fast == std, h
+
+
+def test_fast_engine_equals_stdlib_on_random_soup():
+    """Hypothesis fuzz: random tag soup must produce identical block
+    streams from both engines (the fast path's safety net beyond the
+    well-formed corpus)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    fragment = st.one_of(
+        st.text(alphabet="ab<> /='\"&;xyz-!?.", min_size=0, max_size=12),
+        st.sampled_from(
+            ["<p>", "</p>", "<div>", "</div>", "<a href='#'>", "</a>",
+             "<img src='u' alt='v'>", "<table>", "</table>", "<tr>", "<td>",
+             "</td>", "</tr>", "<nav>", "</nav>", "<script>", "</script>",
+             "&amp;", "<!-- c -->", "<br/>", "long enough paragraph text here ok"]
+        ),
+    )
+    soup = st.lists(fragment, min_size=0, max_size=30).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(soup)
+    def check(html):
+        fast = [(b.kind, b.text, b.media_ref) for b in extract_html(html, "fast")]
+        std = [(b.kind, b.text, b.media_ref) for b in extract_html(html, "stdlib")]
+        assert fast == std, repr(html)
+
+    check()

@@ -162,3 +162,22 @@ def test_link_media_to_documents(spark, tmp_path):
     rows = linked.collect()
     assert len(rows) == 500  # one media span per doc, join preserves all (left)
     assert {r["span_kind"] for r in rows} == {"media"}
+
+
+# ---------------------------------------------------------- textstats
+
+
+def test_top_tokens_per_language_grouped_map(spark):
+    from docling_pdf_spark.operators.textstats import top_tokens_per_language
+
+    docs = spark.createDataFrame(
+        [("en", "a a a b b c"), ("en", "b d"), ("de", "x y x")],
+        ["lang", "text"],
+    )
+    rows = {(r["lang"], r["rank"]): (r["token"], r["freq"])
+            for r in top_tokens_per_language(docs, k=2).collect()}
+    # a=3 and b=3 tie → broken lexicographically (a before b)
+    assert rows[("en", 1)] == ("a", 3)
+    assert rows[("en", 2)] == ("b", 3)
+    assert rows[("de", 1)] == ("x", 2)
+    assert rows[("de", 2)] == ("y", 1)

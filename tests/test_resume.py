@@ -98,3 +98,21 @@ def test_noop_when_all_buckets_done(spark, corpus, tmp_path):
         for b in range(4)
     }
     assert before == after
+
+
+def test_lineage_guard_rejects_changed_input(spark, corpus, tmp_path):
+    """A completed bucket from a different input snapshot must abort the
+    resume instead of silently stitching two inputs together."""
+    import shutil
+
+    out = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+    moved = str(tmp_path / "documents.parquet")
+    shutil.copy(corpus, moved)
+    run_extraction(spark, moved, out, ckpt, n_buckets=4)
+
+    # mutate the input file (append a byte → fingerprint changes)
+    with open(moved, "ab") as f:
+        f.write(b"\x00")
+    with pytest.raises(RuntimeError, match="lineage mismatch"):
+        run_extraction(spark, moved, out, ckpt, n_buckets=4)
