@@ -29,19 +29,31 @@ def _ship_package(spark: SparkSession) -> None:
     flag = "_docling_pdf_spark_shipped"
     if getattr(spark, flag, False):
         return
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docling_pdf_spark")
-    zip_path = os.path.join(tempfile.gettempdir(), "docling_pdf_spark_pyfiles.zip")
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    # key the zip by content hash: a cached zip from an older code
+    # version must never ship stale semantics to the workers
+    h = hashlib.sha256()
+    for full in sorted(sources):
+        h.update(full.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"docling_pdf_spark_pyfiles_{h.hexdigest()[:12]}.zip"
+    )
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path + ".tmp", "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in sorted(files):
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        z.write(full, rel)
+            for full in sorted(sources):
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                z.write(full, rel)
         os.replace(zip_path + ".tmp", zip_path)
     try:
         spark.sparkContext.addPyFile(zip_path)
@@ -136,6 +148,16 @@ def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(ivf_assign(emb, cents), cents, qv, k=10, nprobe=4)
 
 
+def _embedding_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_pdf_spark.operators.dedup import embedding_near_dups_bucketed
+    from docling_pdf_spark.operators.similarity import default_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups_bucketed(
+        emb, default_centroids(emb, n=16), threshold=0.3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_pdf_spark.queries import spark_queries
 
@@ -147,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_dedup"] = _minhash_lsh
     q["simhash_near_dups"] = _simhash_near_dups
     q["ivf_ann_topk"] = _ivf_ann_topk
+    q["embedding_near_dups_bucketed"] = _embedding_near_dups_bucketed
     return q
 
 

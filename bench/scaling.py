@@ -39,7 +39,20 @@ DEFAULT_LEVELS = (8, 32)
 PARTITIONS_PER_CORE = 6  # fine tasks → better last-wave packing
 
 
-def worker(cores: int, corpus: str, replicate: int) -> None:
+def _barrier(barrier_dir: str, idx: int, k: int, timeout_s: float = 300.0) -> None:
+    """Filesystem barrier: align all executors' timed sections so one
+    executor's untimed warmup never overlaps another's measurement."""
+    open(os.path.join(barrier_dir, f"ready_{idx}"), "w").close()
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < timeout_s:
+        if len([f for f in os.listdir(barrier_dir) if f.startswith("ready_")]) >= k:
+            return
+        time.sleep(0.1)
+    raise RuntimeError("barrier timeout")
+
+
+def worker(cores: int, corpus: str, replicate: int, doc_slice: str | None = None,
+           barrier: str | None = None) -> None:
     from bench import replicated_corpus, warm_up  # bench.py helpers
 
     from docling_pdf_spark.pipeline import extract
@@ -51,7 +64,15 @@ def worker(cores: int, corpus: str, replicate: int) -> None:
     warm_up(spark, cores)
 
     docs = replicated_corpus(spark, corpus, replicate)
+    if doc_slice:  # "i/k": this executor's disjoint shard of the input
+        from pyspark.sql import functions as F
+
+        i, k = (int(x) for x in doc_slice.split("/"))
+        docs = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(k)) == i)
     n_docs = docs.count()
+    if barrier:
+        i, k = (int(x) for x in (doc_slice or "0/1").split("/"))
+        _barrier(barrier, i, k)
     t0 = time.perf_counter()
     extract(docs, num_partitions=cores * PARTITIONS_PER_CORE).write.format(
         "noop"
@@ -74,6 +95,14 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=20_000)
     ap.add_argument("--replicate", type=int, default=32)
     ap.add_argument("--worker-cores", type=int, default=None)
+    ap.add_argument("--doc-slice", type=str, default=None,
+                    help="i/k — worker processes only its input shard")
+    ap.add_argument("--barrier-dir", type=str, default=None)
+    ap.add_argument("--mode", choices=("single", "executors"), default="single",
+                    help="single: one JVM with N vs 4N threads; executors: "
+                         "1 vs 4 separate N-core JVM processes on disjoint "
+                         "cores and input shards (the north rule's actual "
+                         "N-vs-4N-executor shape)")
     ap.add_argument("--levels", type=int, nargs=2, default=list(DEFAULT_LEVELS),
                     metavar=("N", "N4"), help="the two parallelism levels (N, 4N)")
     ap.add_argument("--trials", type=int, default=1,
@@ -89,12 +118,14 @@ def main() -> int:
     )
 
     if args.worker_cores:  # subprocess mode
-        worker(args.worker_cores, corpus, args.replicate)
+        worker(args.worker_cores, corpus, args.replicate, args.doc_slice,
+               args.barrier_dir)
         return 0
 
-    results = {}
-    for cores in levels:
-        trials = []
+    if args.mode == "executors":
+        return run_executor_grid(args, corpus, levels)
+
+    def run_level(cores: int) -> dict:
         # pin the whole process tree (JVM + python workers) to exactly
         # `cores` hardware cores — otherwise local[8] borrows the other
         # 24 cores for its Python workers and the baseline is inflated
@@ -104,20 +135,29 @@ def main() -> int:
                "--worker-cores", str(cores)]
         if _has_taskset():
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        for _ in range(args.trials):
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, cwd=REPO, check=True,
-            )
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-            trials.append(json.loads(line))
-            print(line)
-        trials.sort(key=lambda t: t["docs_per_sec"])
-        results[cores] = dict(trials[len(trials) // 2], trials=len(trials))
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=REPO, check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        print(line)
+        return json.loads(line)
 
+    # paired trials: run N and 4N back-to-back so both see the same
+    # host conditions — this shared sandbox swings 2× between quiet and
+    # noisy windows, and pairing cancels the common-mode noise in the
+    # ratio. Median PAIR efficiency is reported.
     n, n4 = levels
-    eff = (results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / (n4 / n)
+    pairs = []
+    for _ in range(args.trials):
+        a = run_level(n)
+        b = run_level(n4)
+        pairs.append((b["docs_per_sec"] / a["docs_per_sec"] / (n4 / n), a, b))
+    pairs.sort(key=lambda p: p[0])
+    eff, a_med, b_med = pairs[len(pairs) // 2]
     summary = {
-        "levels": {str(k): v for k, v in results.items()},
+        "levels": {str(n): dict(a_med, trials=args.trials),
+                   str(n4): dict(b_med, trials=args.trials)},
+        "pair_efficiencies": [round(p[0], 3) for p in pairs],
         "scaling_efficiency": round(eff, 3),
         "passes_0.8_gate": eff >= 0.8,
     }
@@ -126,6 +166,68 @@ def main() -> int:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))
     _write_md(summary, args, levels)
+    return 0
+
+
+def run_executor_grid(args, corpus: str, levels) -> int:
+    """N executors vs 4N-worth-of-executors as SEPARATE OS processes on
+    disjoint core ranges and disjoint input shards — a faithful
+    single-box model of a 1-executor vs 4-executor cluster (per-executor
+    JVM, Python pool, cores and heap all constant across the two sizes).
+    Efficiency = total_docs/max(executor walls) at 4 executors over
+    4 × the 1-executor throughput, median of paired trials."""
+    n, n4 = levels
+    per_exec = n  # each executor gets N cores; the 4N level runs 4 of them
+
+    def launch(exec_idx: int, n_execs: int, barrier_dir: str):
+        lo = exec_idx * per_exec
+        cmd = ["taskset", "-c", f"{lo}-{lo + per_exec - 1}",
+               sys.executable, os.path.abspath(__file__),
+               "--docs", str(args.docs), "--replicate", str(args.replicate),
+               "--worker-cores", str(per_exec),
+               "--barrier-dir", barrier_dir,
+               "--doc-slice", f"{exec_idx}/{n_execs}"]
+        return subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True, cwd=REPO)
+
+    def run_size(n_execs: int) -> dict:
+        import tempfile
+
+        barrier_dir = tempfile.mkdtemp(prefix="grid_barrier_")
+        procs = [launch(i, n_execs, barrier_dir) for i in range(n_execs)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate()
+            if p.returncode != 0:
+                raise RuntimeError(f"executor failed: rc={p.returncode}")
+            outs.append(json.loads(
+                [ln for ln in out.splitlines() if ln.startswith("{")][-1]))
+        total = sum(o["n_docs"] for o in outs)
+        wall = max(o["elapsed_sec"] for o in outs)
+        r = {"executors": n_execs, "cores_per_executor": per_exec,
+             "n_docs": total, "wall_sec": round(wall, 3),
+             "docs_per_sec": round(total / wall, 1),
+             "per_executor_docs_per_sec": [o["docs_per_sec"] for o in outs]}
+        print(json.dumps(r))
+        return r
+
+    pairs = []
+    for _ in range(args.trials):
+        a = run_size(1)
+        b = run_size(n4 // n)
+        pairs.append((b["docs_per_sec"] / a["docs_per_sec"] / (n4 / n), a, b))
+    pairs.sort(key=lambda p: p[0])
+    eff, a_med, b_med = pairs[len(pairs) // 2]
+    summary = {
+        "mode": "executors",
+        "levels": {"1_executor": a_med, f"{n4 // n}_executors": b_med},
+        "pair_efficiencies": [round(p[0], 3) for p in pairs],
+        "scaling_efficiency": round(eff, 3),
+        "passes_0.8_gate": eff >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_executors.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
     return 0
 
 

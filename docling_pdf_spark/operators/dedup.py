@@ -119,6 +119,75 @@ def minhash_lsh_dedup(
     return pairs.where(F.col("est_jaccard") >= threshold)
 
 
+# ------------------------------------------------------- embedding cosine
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with
+    cosine ≥ threshold, a < b.
+
+    Exact O(n²) self-join — the correctness baseline. The scale path is
+    the IVF variant below: bucket by coarse centroid first so the
+    quadratic join runs per-bucket (near-dups above a high threshold
+    land in the same bucket with high probability), turning n² into
+    Σ b_i². Dot products in float64, JVM-side."""
+    from docling_pdf_spark.functions.vectors import cosine_similarity
+
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dups_bucketed(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed near-dup variant (the 100 TB shape): assign vectors
+    to coarse buckets once, self-join only within a bucket. Misses pairs
+    that straddle a bucket boundary (recall measured in tests) — the
+    standard ANN-dedup trade; raise recall with multi-probe assignment."""
+    from docling_pdf_spark.functions.vectors import cosine_similarity
+    from docling_pdf_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "bucket"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 4).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 

@@ -639,6 +639,24 @@ FROM part GROUP BY 1
 """
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline; IVF-bucketed
+    variant is the rows-only `embedding_near_dups_bucketed` entry)."""
+    from docling_pdf_spark.operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+"""
+
+
 def q_top_tokens_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map coverage: per-language top-10 token frequencies via
     applyInPandas (docling_pdf_spark.operators.textstats) — one shuffle
@@ -690,6 +708,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
     "parts_by_type": (q_parts_by_type, SQL_PARTS_BY_TYPE),
     "top_tokens_per_language": (q_top_tokens_per_language, SQL_TOP_TOKENS),
+    "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
 }
 
 

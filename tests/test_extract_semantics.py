@@ -193,3 +193,20 @@ def test_offset_monotonicity_mixed_spans(kinds):
     offs = [s["offset"] for s in row["spans"] if s["kind"] == "text"]
     assert offs == sorted(offs)
     assert all(o >= 0 for o in offs)
+
+
+def test_input_span_storage_order_is_irrelevant():
+    """Equality must be insensitive to physical storage order of input
+    spans — extraction sorts by (offset, index) first (input_hint says
+    offsets are ascending, but storage may not preserve it)."""
+    spans = [
+        sp("text", "first block of text", offset=0),
+        sp("media", "cap", media_ref="m://1", offset=1),
+        sp("text", "second block of text", offset=2),
+    ]
+    import random
+
+    shuffled = spans[::-1]
+    a = extract_document("d", spans)
+    b = extract_document("d", shuffled)
+    assert a == b
