@@ -352,23 +352,34 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.transform(starts, lambda i: F.xxhash64(gram(i))))
         ).alias("shingle"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    # only shingles shared by ≥2 docs can produce a pair — pre-filtering
-    # on the (combinable, tiny) shingle-count aggregate keeps the
-    # self-join shuffle at |shared shingles| instead of |all shingles|
-    # (at 100 TB that is the whole game; result set is identical)
-    shared = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("n_docs"))
-        .where(F.col("n_docs") >= 2)
-        .select("shingle")
+    # canonical LSH pair generation: ONE shuffle groups shingles into
+    # buckets (sorted doc lists); per-doc sizes and candidate pairs both
+    # derive from the bucket table, so the expensive gram computation
+    # runs once instead of once per plan branch, and the pair expansion
+    # is a JVM-side array comprehension instead of a self-join (at
+    # 100 TB: one |shingles| shuffle total, pairs ∝ Σ bucket²)
+    bucket = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
-    sh = sh.join(shared, "shingle")
-    a = sh.alias("a")
-    b = sh.alias("b")
+    bucket.persist()
+    sizes = (
+        bucket.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bucket.where(F.size("ds") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
