@@ -110,3 +110,44 @@ def test_unicode_text_roundtrip():
     s = "文档 🔥 توازي (nested) back\\slash"
     pdf = make_pdf([_page((72, 700, s))])
     assert parse_strict(pdf).pages[0].reading_order_text() == s
+
+
+def test_strict_roundtrip_property():
+    """Property: for any generated PageSpec set, strict parse recovers
+    exactly the pages, boxes (reading-order sorted), image counts and
+    dimension census that went in."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        min_size=1, max_size=30,
+    )
+    box = st.tuples(
+        st.floats(0, 600, allow_nan=False).map(lambda v: round(v, 2)),
+        st.floats(0, 800, allow_nan=False).map(lambda v: round(v, 2)),
+        text,
+    )
+    page = st.builds(
+        PageSpec,
+        texts=st.lists(box, min_size=0, max_size=6),
+        n_images=st.integers(0, 2),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(page, min_size=1, max_size=4))
+    def check(pages):
+        parsed = parse_strict(make_pdf(pages))
+        assert len(parsed.pages) == len(pages)
+        assert parsed.pages_with_valid_dimensions == len(pages)
+        for spec, got in zip(pages, parsed.pages):
+            assert got.n_images == spec.n_images
+            want = sorted(
+                range(len(spec.texts)),
+                key=lambda i: (-spec.texts[i][1], spec.texts[i][0], i),
+            )
+            assert got.reading_order_text() == "\n".join(
+                spec.texts[i][2] for i in want
+            )
+
+    check()

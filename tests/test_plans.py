@@ -80,3 +80,33 @@ def test_no_python_in_relational_plans(spark, fn):
     plan = _plan(spark, fn)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan  # relational queries never enter Python
+
+
+def test_extraction_plan_shape(spark):
+    """The extraction pipeline's physical plan: exactly one Python stage
+    (MapInArrow); salt_mode='none' adds no exchange at all, 'heavy' adds
+    exchanges only for the (tiny) heavy branch."""
+    from docling_pdf_spark.pipeline import extract
+    from docling_pdf_spark.plans import formatted_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    spans_docs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"), F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    # formatted explain names each node twice (tree + detail section)
+    narrow = formatted_plan(extract(spans_docs, num_partitions=None, salt_mode="none"))
+    assert narrow.count("MapInArrow") == 2  # exactly ONE Python stage
+    assert "Exchange" not in narrow  # fully narrow: scan → UDF
+
+    heavy = formatted_plan(extract(spans_docs, num_partitions=8, salt_mode="heavy"))
+    assert heavy.count("MapInArrow") == 2  # still one Python stage
+    assert "Union" in heavy  # light passthrough ∪ shuffled heavy cohort
