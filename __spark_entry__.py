@@ -107,13 +107,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The extraction pipeline as a queries() entry (rows-only check —
-    the UDF transform is not SQL-expressible; correctness is covered by
-    the oracle span-equality suite in tests/)."""
+    """The extraction pipeline as a FULLY-ORACLED queries() entry.
+
+    The pipeline output carries a nested spans array the driver's
+    pandas canonicalizer cannot sort (round-1 err: `unhashable type:
+    list`), so the driver-facing projection posexplodes the spans into
+    scalar columns. For THIS synthetic corpus (fixed HTML wrapper, one
+    text + one media span, no PDFs) the expected spans are exactly
+    SQL-expressible, so the entry gets a real DuckDB oracle
+    (SQL_EXTRACT_INTERLEAVED below) instead of the rows-only check."""
+    from pyspark.sql import functions as F
+
     from docling_pdf_spark.pipeline import extract
 
     _ship_package(spark)
-    return extract(_interleaved_from_documents(spark, sf_dir), num_partitions=8)
+    out = extract(_interleaved_from_documents(spark, sf_dir), num_partitions=8)
+    return out.select(
+        "doc_id",
+        "extraction_method",
+        "n_pages",
+        "n_chars",
+        "n_words",
+        F.posexplode("spans").alias("span_idx", "s"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("span_offset"),
+        "extraction_method",
+        "n_pages",
+        "n_chars",
+        "n_words",
+    )
+
+
+# Exact expected output of _extract_interleaved on the synthetic corpus.
+# Derivation (docling_pdf_spark/core/extract.py semantics on the spans
+# built by _interleaved_from_documents):
+#   * text span     -> text block 0 (offset 0)
+#   * html span     -> boilerplate (nav/footer) dropped; the <p> block
+#                      survives (corpus texts are >=47 chars, above
+#                      MIN_BLOCK_TEXT=25, with collapsed whitespace ==
+#                      original: no doubled/edge spaces in the corpus)
+#                      -> text block 1 at offset len(text)+1
+#   * media span    -> links to the nearest preceding text block (the
+#                      html block) -> offset len(text)+1
+#   * no pdf spans  -> extraction_method 'native'; n_pages = 2 blocks,
+#                      full_text = text+'\n'+text.
+SQL_EXTRACT_INTERLEAVED = r"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS t, source,
+         length(text) AS lt,
+         len(string_split_regex(trim(text), '\s+')) AS words
+  FROM documents
+)
+SELECT doc_id, 0 AS span_idx, 'text' AS kind, t AS span_text,
+       NULL AS media_ref, 0 AS span_offset,
+       'native' AS extraction_method, 2 AS n_pages,
+       2 * lt + 1 AS n_chars, 2 * words AS n_words
+FROM base
+UNION ALL
+SELECT doc_id, 1, 'text', t, NULL, lt + 1,
+       'native', 2, 2 * lt + 1, 2 * words
+FROM base
+UNION ALL
+SELECT doc_id, 2, 'media', 'figure for ' || source, 'img://' || doc_id, lt + 1,
+       'native', 2, 2 * lt + 1, 2 * words
+FROM base
+"""
 
 
 def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,10 +225,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_pdf_spark.queries import spark_queries
 
     q = spark_queries()
-    # non-SQL-expressible ops (custom hash functions / UDF pipeline) —
-    # driver records the weaker rows-only check; full correctness is
-    # covered by tests/ (span equality, LSH recall, IVF recall)
+    # flagship: full extraction pipeline, exploded to scalars + oracled
     q["extract_interleaved"] = _extract_interleaved
+    # non-SQL-expressible ops (custom hash functions) — driver records
+    # the weaker rows-only check; full correctness is covered by tests/
+    # (LSH recall, IVF recall, subset invariants)
     q["minhash_lsh_dedup"] = _minhash_lsh
     q["simhash_near_dups"] = _simhash_near_dups
     q["ivf_ann_topk"] = _ivf_ann_topk
@@ -176,4 +240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from docling_pdf_spark.queries import duckdb_oracles
 
-    return duckdb_oracles()
+    o = duckdb_oracles()
+    o["extract_interleaved"] = SQL_EXTRACT_INTERLEAVED
+    return o

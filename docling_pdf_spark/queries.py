@@ -11,6 +11,14 @@ Design rules for exact DuckDB-hash parity:
   * money/value sums are cast to DECIMAL(18,2|4) BEFORE aggregation on
     both sides, so floating-point summation order can never produce a
     hash mismatch;
+  * ...but the FINAL projection never emits a DECIMAL or a bare
+    integer SUM: DuckDB's .df() coerces SUM(BIGINT)→HUGEINT and
+    SUM(DECIMAL) to float64 while Spark delivers int64 / Decimal
+    objects, so `2279` would hash against `2279.0` (the round-1
+    hash_match failures). Integer sums are CAST(... AS BIGINT) in the
+    oracle; decimal sums are round(CAST(... AS DOUBLE), 2|4) on BOTH
+    sides. The aggregation stays decimal; only the output
+    representation is normalized.
   * floating results (cosine similarity, ratios) are computed in
     float64 on both sides and rounded to a fixed number of digits;
   * ties in any top-k are broken by a unique key column.
@@ -143,7 +151,7 @@ def q_status_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STATUS_SCAN = """
 SELECT source, lang, count(*) AS n_docs,
-       sum(n_chars) AS sum_chars, max(n_chars) AS max_chars
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY source, lang
 """
 
@@ -180,26 +188,34 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_sum_base"),
             F.sum(
                 (
                     F.col("l_extendedprice").cast("decimal(18,2)")
                     * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
                 ).cast("decimal(18,4)")
-            ).alias("sum_disc_price"),
+            ).alias("_sum_disc"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("_sum_qty").cast("double"), 2).alias("sum_qty"),
+            F.round(F.col("_sum_base").cast("double"), 2).alias("sum_base_price"),
+            F.round(F.col("_sum_disc").cast("double"), 4).alias("sum_disc_price"),
+            "count_order",
         )
     )
 
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-           AS DECIMAL(18,4))) AS sum_disc_price,
+           AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -226,25 +242,33 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l_extendedprice").cast("decimal(18,2)")
                     * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
                 ).cast("decimal(18,4)")
-            ).alias("revenue")
+            ).alias("_revenue")
         )
-        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .orderBy(F.desc("_revenue"), F.asc("o_orderkey"))
         .limit(10)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("_revenue").cast("double"), 4).alias("revenue"),
+        )
     )
 
 
 SQL_TOP_ORDERS = """
-SELECT o_orderkey, o_orderdate,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-           AS DECIMAL(18,4))) AS revenue
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-GROUP BY o_orderkey, o_orderdate
-ORDER BY revenue DESC, o_orderkey ASC
-LIMIT 10
+SELECT o_orderkey, o_orderdate, round(CAST(_revenue AS DOUBLE), 4) AS revenue
+FROM (
+  SELECT o_orderkey, o_orderdate,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             AS DECIMAL(18,4))) AS _revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey, o_orderdate
+  ORDER BY _revenue DESC, o_orderkey ASC
+  LIMIT 10
+)
 """
 
 
@@ -255,26 +279,30 @@ def q_top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     totals = (
         orders.groupBy("o_custkey")
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_value"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_total"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
     )
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.desc("total_value"), F.asc("c_custkey")
-    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("_total"), F.asc("c_custkey"))
     return (
         totals.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
-        .select("c_mktsegment", "rank", "c_custkey", "total_value")
+        .select(
+            "c_mktsegment",
+            "rank",
+            "c_custkey",
+            F.round(F.col("_total").cast("double"), 2).alias("total_value"),
+        )
     )
 
 
 SQL_TOP_CUSTOMERS_WINDOW = """
-SELECT c_mktsegment, rank, c_custkey, total_value FROM (
-  SELECT c_mktsegment, c_custkey, total_value,
+SELECT c_mktsegment, rank, c_custkey,
+       round(CAST(_total AS DOUBLE), 2) AS total_value FROM (
+  SELECT c_mktsegment, c_custkey, _total,
          row_number() OVER (PARTITION BY c_mktsegment
-                            ORDER BY total_value DESC, c_custkey ASC) AS rank
+                            ORDER BY _total DESC, c_custkey ASC) AS rank
   FROM (
-    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_value
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS _total
     FROM orders GROUP BY o_custkey
   ) t JOIN customer ON o_custkey = c_custkey
 ) WHERE rank <= 3
@@ -293,7 +321,9 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_value"),
         )
     )
 
@@ -301,7 +331,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -358,10 +388,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs once instead of once per plan branch, and the pair expansion
     # is a JVM-side array comprehension instead of a self-join (at
     # 100 TB: one |shingles| shuffle total, pairs ∝ Σ bucket²)
+    # no persist: the returned DataFrame is lazy, so a cache here could
+    # never be released by the caller (round-1 ADVICE leak); AQE shuffle
+    # reuse covers the shared bucket subtree between sizes and pairs
     bucket = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
-    bucket.persist()
     sizes = (
         bucket.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
@@ -549,13 +581,15 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.groupBy("user_id").agg(
         F.sum("new_session").alias("n_sessions"),
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_value"),
     )
 
 
 SQL_SESSIONIZATION = """
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events,
-       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
 FROM (
   SELECT user_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -633,7 +667,9 @@ def q_parts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_prefix")
         .agg(
             F.count("*").alias("n_parts"),
-            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.round(
+                F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_price"),
             F.max("p_size").alias("max_size"),
             F.min(F.upper(F.col("p_brand"))).alias("first_brand"),
         )
@@ -643,7 +679,7 @@ def q_parts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PARTS_BY_TYPE = """
 SELECT string_split(p_type, ' ')[1] AS type_prefix,
        count(*) AS n_parts,
-       sum(CAST(p_retailprice AS DECIMAL(18,2))) AS sum_price,
+       round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
        max(p_size) AS max_size,
        min(upper(p_brand)) AS first_brand
 FROM part GROUP BY 1

@@ -1,7 +1,16 @@
 """Local replica of the driver's correctness gate: run every
 queries() entry on Spark AND its oracle_sql() on DuckDB at sf0.01,
-compare row count, column names, and order-insensitive values exactly
-(SURVEY.md §5.2.5)."""
+compare row count, column names, and order-insensitive values
+(SURVEY.md §5.2.5).
+
+DTYPE-SENSITIVE ON PURPOSE: the driver canonicalizes pandas-side
+(Spark toPandas vs DuckDB .df()) and its value hash distinguishes int
+from float (round-1: DuckDB SUM(BIGINT)→HUGEINT→float64 hashed `2279.0`
+against Spark's int64 `2279`) while being integer-width-insensitive
+(int32 row_number vs BIGINT passed). The canon below replicates that:
+ints of any width canonicalize equal, int-vs-float and
+Decimal-vs-float do NOT — so local green predicts driver green.
+"""
 
 from __future__ import annotations
 
@@ -11,6 +20,8 @@ import math
 import os
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pytest
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -29,23 +40,37 @@ def _duck():
     return con
 
 
-def _norm_cell(v):
+def _canon_cell(v):
+    """Type-class-preserving repr: int (any width) == int, float != int,
+    Decimal keeps its trailing zeros (so a Decimal-vs-float mismatch is
+    VISIBLE here, exactly as it is in the driver hash)."""
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 9))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NULL" if math.isnan(f) else repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, decimal.Decimal):
-        return repr(v.normalize())
+        return f"dec:{v}"
+    if isinstance(v, pd.Timestamp):
+        return "NULL" if pd.isna(v) else v.isoformat()
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, str):
+        return f"s:{v}"
     return repr(v)
 
 
-def _norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+def _canon_frame(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    df = df[sorted(df.columns)]
+    return sorted(
+        tuple(_canon_cell(v) for v in row) for row in df.itertuples(index=False)
+    )
 
 
 def _all_pairs():
@@ -58,20 +83,17 @@ def _all_pairs():
 
 @pytest.mark.parametrize("name,fn,sql", _all_pairs(), ids=lambda p: p if isinstance(p, str) else "")
 def test_query_matches_duckdb(spark, name, fn, sql):
-    sdf = fn(spark, SF_DIR)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    sdf = fn(spark, SF_DIR).toPandas()
+    ddf = _duck().execute(sql).df()
 
-    con = _duck()
-    res = con.execute(sql)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-
-    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
-    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
-    sn, dn = _norm_rows(scols, srows), _norm_rows(dcols, drows)
+    assert sorted(sdf.columns) == sorted(ddf.columns), f"{name}: column names differ"
+    assert len(sdf) == len(ddf), f"{name}: row count {len(sdf)} vs {len(ddf)}"
+    sn, dn = _canon_frame(sdf), _canon_frame(ddf)
     mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
-    assert not mismatches, f"{name}: first mismatch {mismatches[0]}"
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first: "
+        f"spark={mismatches[0][0]} duckdb={mismatches[0][1]}"
+    )
 
 
 def test_entry_smoke(spark):
