@@ -200,24 +200,24 @@ def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from docling_pdf_spark.operators.similarity import (
-        default_centroids,
         ivf_assign,
         ivf_cosine_topk,
+        kmeans_centroids,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
-    cents = default_centroids(emb, n=16)
+    cents = kmeans_centroids(emb, n=16, iters=3)
     return ivf_cosine_topk(ivf_assign(emb, cents), cents, qv, k=10, nprobe=4)
 
 
 def _embedding_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_pdf_spark.operators.dedup import embedding_near_dups_bucketed
-    from docling_pdf_spark.operators.similarity import default_centroids
+    from docling_pdf_spark.operators.similarity import kmeans_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return embedding_near_dups_bucketed(
-        emb, default_centroids(emb, n=16), threshold=0.3
+        emb, kmeans_centroids(emb, n=16, iters=3), threshold=0.3, nprobe=2
     )
 
 

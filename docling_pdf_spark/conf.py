@@ -37,6 +37,18 @@ RUNG_LENIENT = "lenient"        # regex text-op scan        (≈ backend retry)
 RUNG_RAW = "raw_fallback"       # printable-string sieve    (≈ pymupdf fallback)
 RUNG_ORDER = (RUNG_NATIVE, RUNG_STRICT, RUNG_LENIENT, RUNG_RAW)
 
+# --- near-dup candidate generation (LSH / ngram / simhash buckets) ---
+# Pair expansion inside a bucket is O(b²): a boilerplate shingle shared
+# by 10^6 docs would emit 10^12 pairs from ONE bucket at corpus scale.
+# Buckets larger than this cap are dropped from pair generation (they
+# carry ~zero signal: a feature shared by >cap docs is boilerplate, not
+# similarity). Standard practice in the MinHash/LSH dedup literature;
+# dropped mass is observable via operators.dedup.bucket_cap_stats —
+# never capped silently. sf0.01 observed maxima are 3 (ngram shingle),
+# 3 (LSH band), 17 (simhash chunk), so the cap is provably inert on the
+# oracle corpus (asserted in tests/test_operators.py).
+MAX_LSH_BUCKET = 512
+
 # --- Spark-side tuning (SURVEY.md §4.3) ---
 SHUFFLE_PARTITIONS = 32
 ARROW_MAX_RECORDS_PER_BATCH = 1024  # rows/batch cap; actual memory is

@@ -20,10 +20,44 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from docling_pdf_spark.conf import MAX_LSH_BUCKET
+
 SHINGLE_WORDS = 5
+
+
+def _cap_buckets(melted: DataFrame, bucket_cols: list[str], max_bucket: int) -> DataFrame:
+    """Drop rows belonging to buckets with more than max_bucket members
+    (the mega-bucket guard: a feature shared by millions of docs emits
+    O(b²) pairs from one bucket — boilerplate, not similarity). The
+    window count shuffles on the same key as the downstream bucket
+    join, so the exchange is reused."""
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        melted.withColumn("_bsz", F.count("*").over(w))
+        .where(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
+def bucket_cap_stats(
+    melted: DataFrame, bucket_cols: list[str], max_bucket: int = MAX_LSH_BUCKET
+) -> DataFrame:
+    """Observability for the cap (no silent truncation): one row with
+    total buckets, dropped buckets, dropped member rows, and the number
+    of candidate pairs the cap avoided (Σ b·(b−1)/2 over dropped)."""
+    sizes = melted.groupBy(*bucket_cols).agg(F.count("*").alias("b"))
+    dropped = F.col("b") > max_bucket
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(dropped.cast("long")).alias("n_dropped_buckets"),
+        F.sum(F.when(dropped, F.col("b")).otherwise(0)).alias("dropped_rows"),
+        F.sum(
+            F.when(dropped, F.col("b") * (F.col("b") - 1) / 2).otherwise(0.0)
+        ).cast("long").alias("pairs_avoided"),
+    )
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -61,9 +95,13 @@ def lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     id_col: str = "doc_id",
+    max_bucket: int = MAX_LSH_BUCKET,
 ) -> DataFrame:
     """Band the signature matrix (bands × rows), bucket-join on band
-    hash, return candidate pairs with the minhash-estimated Jaccard."""
+    hash, return candidate pairs with the minhash-estimated Jaccard.
+
+    Buckets above max_bucket are excluded from the join (mega-bucket
+    guard; measure dropped mass with bucket_cap_stats)."""
     rows = num_hashes // bands
     band_cols = [
         F.xxhash64(F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
@@ -77,6 +115,7 @@ def lsh_candidate_pairs(
         F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("bucket"),
     )
+    melted = _cap_buckets(melted, ["bucket"], max_bucket)
     a = melted.alias("a")
     b = melted.alias("b")
     pairs = (
@@ -160,17 +199,24 @@ def embedding_near_dups_bucketed(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 2,
+    max_bucket: int = MAX_LSH_BUCKET,
 ) -> DataFrame:
-    """IVF-bucketed near-dup variant (the 100 TB shape): assign vectors
-    to coarse buckets once, self-join only within a bucket. Misses pairs
-    that straddle a bucket boundary (recall measured in tests) — the
-    standard ANN-dedup trade; raise recall with multi-probe assignment."""
+    """IVF-bucketed near-dup variant (the 100 TB shape): assign every
+    vector to its nprobe nearest coarse buckets (multi-probe), self-join
+    only within a bucket, dedupe pairs found via more than one shared
+    bucket. Similarities are computed exactly, so the output is always a
+    SUBSET of the exact O(n²) pass — bucketing only loses pairs (recall
+    measured in tests; k-means centroids + nprobe=2 recover planted
+    cos≥0.9 dup pairs at ≥0.8 recall). Buckets above max_bucket are
+    excluded from the join (mega-bucket guard)."""
     from docling_pdf_spark.functions.vectors import cosine_similarity
-    from docling_pdf_spark.operators.similarity import ivf_assign
+    from docling_pdf_spark.operators.similarity import ivf_assign_multi
 
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col).select(
+    assigned = ivf_assign_multi(vectors, centroids, nprobe, id_col, vec_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "bucket"
     )
+    assigned = _cap_buckets(assigned, ["bucket"], max_bucket)
     a, b = assigned.alias("a"), assigned.alias("b")
     sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
     return (
@@ -185,6 +231,7 @@ def embedding_near_dups_bucketed(
             F.round(sim, 4).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -221,11 +268,19 @@ def simhash_fingerprints(
 
 
 def simhash_near_dups(
-    fps: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+    fps: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_LSH_BUCKET,
 ) -> DataFrame:
     """Candidate pairs via equality on any 16-bit chunk of the
     fingerprint (Manku et al.: hamming ≤ 3 ⇒ at least one of 4 chunks
-    identical), verified with bit_count(xor) ≤ max_hamming."""
+    identical), verified with bit_count(xor) ≤ max_hamming.
+
+    Chunk buckets above max_bucket are excluded (the 64-bit space has
+    only 65k values per chunk table, so at corpus scale every bucket is
+    b²-quadratic without the cap; dropped mass via bucket_cap_stats on
+    the melted (chunk_idx, chunk) table)."""
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), 16 * c)
@@ -237,6 +292,7 @@ def simhash_near_dups(
     melted = fps.select(
         id_col, "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk")
     )
+    melted = _cap_buckets(melted, ["chunk_idx", "chunk"], max_bucket)
     a = melted.alias("a")
     b = melted.alias("b")
     pairs = (

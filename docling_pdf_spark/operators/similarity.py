@@ -14,7 +14,7 @@ array<double>; no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from docling_pdf_spark.functions.vectors import dot as _dot
@@ -79,13 +79,119 @@ def ivf_assign(
 def default_centroids(
     vectors: DataFrame, n: int = 16, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Deterministic coarse centroids: the n lowest-id vectors (a real
-    deployment would run k-means|| once at table-build time; the bucket
-    mechanics downstream are identical)."""
+    """Deterministic coarse seed centroids: n vectors chosen by hash
+    order (xxhash64 of the id — a deterministic pseudo-random spread,
+    unlike round-1's first-n-ids which clustered by insert order).
+    Use kmeans_centroids for trained centroids."""
+    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.asc(id_col))
     return (
-        vectors.orderBy(F.asc(id_col))
+        vectors.orderBy(F.xxhash64(F.col(id_col)), F.asc(id_col))
         .limit(n)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid"))
+        .select(
+            (F.row_number().over(w) - 1).alias("centroid_id"),
+            F.col(vec_col).alias("centroid"),
+        )
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) trained with DataFrame ops — the
+    public k-means recipe (MacQueen/Lloyd; spherical variant for cosine
+    space). Replaces round-1's untrained seed centroids.
+
+    Per iteration: broadcast-assign every vector to its best centroid
+    (one scan, no shuffle of the vectors), then the centroid update is
+    a posexplode → groupBy(bucket, pos) mean — partial+final hash agg,
+    shuffle = n_vectors × dim scalar rows with map-side combine. The
+    n×dim centroid table is collected driver-side each iteration by
+    design (centroids are small by definition; this is the standard
+    broadcast-k-means shape — at 100 TB you train on a sample anyway).
+
+    Deterministic init (hash-spread seeds); means are float64. Empty
+    buckets keep their previous centroid. Returns (centroid_id int,
+    centroid array<double>) with centroid_id in [0, n)."""
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seeds = (
+        v.orderBy(F.xxhash64(F.col("_id")), F.asc("_id")).limit(n).collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (i, list(r["v"])) for i, r in enumerate(seeds)
+    ]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, ["centroid_id", "centroid"])
+        assigned = ivf_assign(v, cdf, id_col="_id", vec_col="v")
+        means = (
+            assigned.select("bucket", F.posexplode("v").alias("pos", "x"))
+            .groupBy("bucket", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("bucket")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("mean_vec")
+            )
+            .collect()
+        )
+        by_bucket = {r["bucket"]: r["mean_vec"] for r in means}
+        new_cents = []
+        for cid, old in cents:
+            m = by_bucket.get(cid)
+            if m is None:
+                new_cents.append((cid, old))  # empty bucket keeps its centroid
+                continue
+            norm = sum(x * x for x in m) ** 0.5 or 1.0
+            new_cents.append((cid, [x / norm for x in m]))
+        cents = new_cents
+    return spark.createDataFrame(cents, ["centroid_id", "centroid"])
+
+
+def ivf_assign_multi(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe assignment: each vector lands in its nprobe nearest
+    buckets (one output row per (vector, bucket)). Raises near-dup
+    recall for pairs that straddle a bucket boundary at the cost of an
+    nprobe× row expansion — the standard IVF multi-probe trade."""
+    cent = centroids.select(
+        F.array_agg(
+            F.struct(
+                F.col("centroid_id"), F.col("centroid").cast("array<double>").alias("c")
+            )
+        ).alias("cents")
+    )
+    v = F.col(vec_col).cast("array<double>")
+    # sort ascending on -sim → top-nprobe by similarity; ties by id
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda s: F.struct(
+                    (-(_dot(v, s["c"]) / (_norm(v) * _norm(s["c"])))).alias("neg_sim"),
+                    s["centroid_id"].alias("centroid_id"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    return (
+        vectors.crossJoin(F.broadcast(cent))
+        .select(F.col(id_col), F.col(vec_col), F.explode(ranked).alias("p"))
+        .select(id_col, vec_col, F.col("p.centroid_id").alias("bucket"))
     )
 
 

@@ -14,10 +14,9 @@ genuinely group-wise kernel.
 
 from __future__ import annotations
 
-from collections import Counter
-
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TOKEN_FREQ_SCHEMA = T.StructType(
@@ -36,27 +35,36 @@ def top_tokens_per_language(
     """(lang, rank, token, freq): the k most frequent whitespace tokens
     per language; ties broken lexicographically (deterministic).
 
-    Plan shape: one hash shuffle on lang → grouped pandas kernel. At
-    corpus scale a two-level combine (pre-aggregate token counts per
-    partition with explode+groupBy, then grouped top-k) bounds the
-    group payload; this kernel is the per-group reducer either way."""
+    Two-level combine (the 100 TB shape — round-1 held a whole language
+    in one pandas frame, which OOMs on the `en` group at corpus scale):
+      1. JVM pre-aggregate: explode(split) → groupBy(lang, token).count()
+         — partial+final hash agg with map-side combine, so the shuffle
+         carries |distinct (lang, token)| rows, not |tokens|;
+      2. grouped pandas top-k over the count table — the per-group
+         payload is the language's vocabulary (Heaps' law: ~|corpus|^0.5),
+         not its corpus. The pandas kernel is kept deliberately as the
+         repo's grouped-map (applyInPandas) coverage; a pure-JVM window
+         row_number would also work here.
+    """
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        counts: Counter[str] = Counter()
-        for text in pdf[text_col]:
-            if text:
-                counts.update(text.split())
-        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-        lang = pdf[lang_col].iloc[0]
+        top = pdf.sort_values(["freq", "token"], ascending=[False, True]).head(k)
         return pd.DataFrame(
             {
-                "lang": [lang] * len(top),
+                "lang": top[lang_col].to_numpy(),
                 "rank": range(1, len(top) + 1),
-                "token": [t for t, _ in top],
-                "freq": [f for _, f in top],
+                "token": top["token"].to_numpy(),
+                "freq": top["freq"].to_numpy(),
             }
         )
 
-    return docs.select(lang_col, text_col).groupBy(lang_col).applyInPandas(
-        kernel, schema=TOKEN_FREQ_SCHEMA
+    counts = (
+        docs.select(
+            lang_col,
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy(lang_col, "token")
+        .agg(F.count("*").alias("freq"))
     )
+    return counts.groupBy(lang_col).applyInPandas(kernel, schema=TOKEN_FREQ_SCHEMA)

@@ -362,7 +362,17 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via word-5-gram shingles: docs sharing a
     shingle hash → candidate pair → Jaccard over distinct shingle sets.
     Self-join shuffles on the shingle hash (the LSH-bucket pattern);
-    identical pairs excluded, pairs below 0.2 Jaccard pruned."""
+    identical pairs excluded, pairs below 0.2 Jaccard pruned.
+
+    Mega-bucket guard: shingle buckets larger than MAX_LSH_BUCKET are
+    excluded from pair expansion (boilerplate shingles shared by 10^6
+    docs would emit 10^12 pairs from one bucket at 100 TB); the cap is
+    far above the sf0.01 max bucket of 3 (asserted in tests), so the
+    oracle results are unchanged. Dropped mass is observable via
+    operators.dedup.bucket_cap_stats — never capped silently. The
+    per-doc shingle-set sizes are computed BEFORE the cap so Jaccard
+    denominators stay exact."""
+    from docling_pdf_spark.conf import MAX_LSH_BUCKET
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     starts = F.when(
@@ -409,7 +419,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     inter = (
-        bucket.where(F.size("ds") >= 2)
+        bucket.where((F.size("ds") >= 2) & (F.size("ds") <= MAX_LSH_BUCKET))
         .select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))

@@ -82,6 +82,23 @@ def test_no_python_in_relational_plans(spark, fn):
         assert marker not in plan  # relational queries never enter Python
 
 
+def test_top_tokens_preaggregates_before_python(spark):
+    """The two-level combine: token counts are a JVM partial+final hash
+    aggregate (map-side combine) BEFORE the grouped-map pandas kernel,
+    so the Python stage sees per-language vocabularies, never corpora."""
+    from docling_pdf_spark.operators.textstats import top_tokens_per_language
+    from docling_pdf_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = formatted_plan(top_tokens_per_language(docs, k=10))
+    assert "FlatMapGroupsInPandas" in plan  # the grouped-map stage exists
+    assert plan.count("HashAggregate") >= 2  # partial+final combine below it
+    # the aggregate must be UPSTREAM of the pandas stage: in the
+    # formatted tree, deeper nodes print after their parents
+    tree = plan.split("==")[2] if "==" in plan else plan
+    assert tree.find("FlatMapGroupsInPandas") < tree.find("HashAggregate")
+
+
 def test_extraction_plan_shape(spark):
     """The extraction pipeline's physical plan: exactly one Python stage
     (MapInArrow); salt_mode='none' adds no exchange at all, 'heavy' adds
