@@ -10,6 +10,11 @@ Timing uses a noop-format write so every column is actually computed
 job first spins up the JVM stages and the Python worker pool so the
 measured numbers are steady-state.
 
+Every timing is the MEDIAN of k trials (default 3, $SPARK_GRAFT_TRIALS):
+this host is shared and single-trial numbers occasionally absorb a
+multi-second steal burst (round 1 recorded a 39.6s phantom for a 0.6s
+query); the median of 3 is robust to one bad window per query.
+
 The extraction headline runs the real mapInPandas pipeline over the
 deterministic fixture corpus (cached under .bench/, gitignored),
 replicated JVM-side to reach a meaningful task count. Two-cluster-size
@@ -51,6 +56,18 @@ REPLICATE = 4  # JVM-side copies of the corpus for the extraction headline
 
 def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _median_sec(make_df, trials: int) -> float:
+    """Median wall-clock of `trials` noop-write runs of make_df()."""
+    import statistics
+
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        _noop_write(make_df())
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
 
 
 def ensure_corpus(path: str, n_docs: int) -> str:
@@ -115,21 +132,20 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     warm_up(spark, cpus)
 
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
     timings: dict[str, float] = {}
 
     # headline: the extraction pipeline itself
     docs = replicated_corpus(spark, corpus, REPLICATE)
     n_docs = docs.count()
-    t0 = time.perf_counter()
-    _noop_write(extract(docs, num_partitions=cpus * 3))
-    extract_sec = time.perf_counter() - t0
+    extract_sec = _median_sec(lambda: extract(docs, num_partitions=cpus * 3), trials)
     timings["extract_pipeline"] = round(extract_sec, 3)
 
     q = spark_queries()
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _noop_write(q[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(
+            _median_sec(lambda: q[name](spark, sf_dir), trials), 3
+        )
 
     total = round(sum(timings.values()), 3)
     print(

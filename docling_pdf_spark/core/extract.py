@@ -53,6 +53,7 @@ OUTPUT_COLUMNS = [
     "n_words",
     "has_tables",
     "has_images",
+    "producer",
     "warning",
     "error",
 ]
@@ -84,6 +85,7 @@ def _error_row(doc_id: str, error: str) -> dict:
         "n_words": 0,
         "has_tables": False,
         "has_images": False,
+        "producer": None,
         "warning": None,
         "error": error,
     }
@@ -110,12 +112,14 @@ def _extract_pdf_payload(
     text_blocks: list[str],
     images: list[tuple[str | None, str]],
     warnings: list[str],
+    producers: list[str],
 ) -> str:
     """Run the admission gates + parse ladder on one pdf span.
 
-    Returns the rung used; appends page texts / image descriptors in
-    place. Raises _AdmissionError for gate rejections (whole-doc error,
-    mirroring the reference's pre-task HTTP 4xx rejects)."""
+    Returns the rung used; appends page texts / image descriptors /
+    producer sniffs in place. Raises _AdmissionError for gate rejections
+    (whole-doc error, mirroring the reference's pre-task HTTP 4xx
+    rejects)."""
     try:
         data = base64.b64decode(payload_b64 or "", validate=True)
     except Exception as exc:
@@ -126,8 +130,12 @@ def _extract_pdf_payload(
         raise _AdmissionError("invalid_pdf_magic")
 
     parsed = parse_ladder(data)
+    if parsed.producer:
+        producers.append(parsed.producer)
     if parsed.encrypted:  # pdf_extractor.py:131-132, 594
         warnings.append("encrypted")
+    if parsed.needs_password:  # pdf_extractor.py:591-612 distinct flag
+        warnings.append("needs_password")
     if not parsed.pages:
         if parsed.rung == RUNG_STRICT:
             warnings.append("zero_pages")  # pdf_extractor.py:135-136 analog
@@ -177,6 +185,7 @@ def _extract_document(doc_id: str, spans: Any) -> dict:
     images: list[tuple[str | None, str]] = []  # (media_ref, description)
     media_links: list[tuple[str | None, str, int]] = []  # (ref, caption, block idx)
     warnings: list[str] = []
+    producers: list[str] = []  # X4 metadata sniff (pdf_extractor.py:139-148)
     rung_rank = RUNG_ORDER.index(RUNG_NATIVE)
 
     span_list = list(spans) if spans is not None else []
@@ -216,7 +225,7 @@ def _extract_document(doc_id: str, spans: Any) -> dict:
                 elif blk.kind == "image":
                     images.append((blk.media_ref, blk.text))
         elif kind == "pdf":
-            rung = _extract_pdf_payload(text, text_blocks, images, warnings)
+            rung = _extract_pdf_payload(text, text_blocks, images, warnings, producers)
             rung_rank = max(rung_rank, RUNG_ORDER.index(rung))
         elif kind == "media":
             media_links.append((media_ref, text, len(text_blocks) - 1))
@@ -254,6 +263,9 @@ def _extract_document(doc_id: str, spans: Any) -> dict:
         "n_words": len(full_text.split()),  # pdf_extractor.py:456
         "has_tables": bool(tables),  # pdf_extractor.py:342
         "has_images": bool(images),  # pdf_extractor.py:343
+        # first-seen producer (reference sniffs one PDF per task,
+        # pdf_extractor.py:139-148; interleaved docs may carry several)
+        "producer": producers[0] if producers else None,
         "warning": ";".join(uniq) if uniq else None,
         "error": None,
     }

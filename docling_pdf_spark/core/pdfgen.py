@@ -27,17 +27,40 @@ class PageSpec:
 
 def _esc(s: str) -> bytes:
     """PDF literal-string escaping; payload is UTF-8 bytes in parens."""
-    b = s.encode("utf-8")
+    return _esc_bytes(s.encode("utf-8"))
+
+
+def _esc_bytes(b: bytes) -> bytes:
     return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+# ISO 32000-1 §7.6.3.3 standard padding string: the /U entry of a
+# standard-security PDF whose USER password is empty derives from this
+# constant — parse_strict uses it to tell "encrypted but readable"
+# from "password required" (the reference's needs_password flag,
+# docling-pdf pdf_extractor.py:591-612).
+PDF_PAD = bytes(
+    (0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+     0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A)
+)
 
 
 def make_pdf(
     pages: list[PageSpec],
     *,
     encrypted: bool = False,
+    needs_password: bool = False,
+    producer: str | None = None,
     corrupt: str | None = None,
 ) -> bytes:
     """Build PDF bytes.
+
+    encrypted: attach a standard-security /Encrypt dictionary whose /U
+      entry is the empty-user-password padding constant (readable).
+    needs_password: like encrypted, but /U differs from the padding —
+      a user password is required (implies encrypted).
+    producer: attach an /Info dictionary with this /Producer string.
 
     corrupt:
       None            — well-formed (strict rung parses it)
@@ -113,6 +136,17 @@ def make_pdf(
     cat_pages = pages_ref if corrupt not in ("garbage_graph", "mangle_ops") else 9999
     catalog_ref = add(b"<< /Type /Catalog /Pages %d 0 R >>" % cat_pages)
 
+    encrypt_ref = None
+    if encrypted or needs_password:
+        u = PDF_PAD if not needs_password else bytes(range(32))
+        encrypt_ref = add(
+            b"<< /Filter /Standard /V 1 /R 2 /O (%s) /U (%s) /P -44 >>"
+            % (_esc_bytes(bytes(reversed(PDF_PAD))), _esc_bytes(u))
+        )
+    info_ref = None
+    if producer is not None:
+        info_ref = add(b"<< /Producer (%s) >>" % _esc(producer))
+
     header = b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n"
     if corrupt == "no_magic":
         header = b"%NOT-A-PDF\n"
@@ -128,10 +162,11 @@ def make_pdf(
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
-    enc = b" /Encrypt 99 0 R" if encrypted else b""
+    enc = b" /Encrypt %d 0 R" % encrypt_ref if encrypt_ref else b""
+    info = b" /Info %d 0 R" % info_ref if info_ref else b""
     out += (
-        b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, catalog_ref, enc, xref_at)
+        b"trailer\n<< /Size %d /Root %d 0 R%s%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, catalog_ref, enc, info, xref_at)
     )
 
     if corrupt == "truncate_xref":

@@ -69,6 +69,8 @@ class ParsedPdf:
     rung: str
     pages: list[Page]
     encrypted: bool = False
+    needs_password: bool = False  # reference pdf_extractor.py:591-612
+    producer: str | None = None  # reference pdf_extractor.py:139-148, :596
     pages_with_valid_dimensions: int = 0
 
 
@@ -114,6 +116,61 @@ def _unescape(raw: bytes) -> str:
         out += c
         i += 1
     return out.decode("utf-8", errors="replace")
+
+
+def _unescape_bytes(raw: bytes) -> bytes:
+    """Decode a PDF literal string body to raw bytes (no text decode)."""
+    if b"\\" not in raw:
+        return raw
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < n:
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, n) and raw[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            i += 1
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+_U_RE = re.compile(rb"/U\s*\(((?:\\.|[^\\()])*)\)")
+_PRODUCER_RE = re.compile(rb"/Producer\s*\(((?:\\.|[^\\()])*)\)")
+
+
+def encryption_flags(data: bytes) -> tuple[bool, bool]:
+    """(encrypted, needs_password) — the reference's two distinct flags
+    (docling-pdf pdf_extractor.py:591-612: is_encrypted vs needs_pass).
+
+    A standard-security PDF whose USER password is empty derives its /U
+    entry from the ISO 32000-1 §7.6.3.3 padding constant; a /U that
+    differs (or is absent) means a password is required to read."""
+    from docling_pdf_spark.core.pdfgen import PDF_PAD
+
+    if b"/Encrypt" not in data:
+        return False, False
+    m = _U_RE.search(data)
+    needs = m is None or _unescape_bytes(m.group(1)) != PDF_PAD
+    return True, needs
+
+
+def sniff_producer(data: bytes) -> str | None:
+    """Cosmetic producer sniff (reference X4, pdf_extractor.py:139-148:
+    a cheap metadata peek, never load-bearing for extraction)."""
+    m = _PRODUCER_RE.search(data)
+    return _unescape(m.group(1)) if m else None
 
 
 _OP_RE = re.compile(
@@ -260,13 +317,20 @@ def parse_raw(data: bytes) -> ParsedPdf:
 def parse_ladder(data: bytes) -> ParsedPdf:
     """First-success-wins ladder (pdf_extractor.py:694-739 semantics:
     try each rung with a fresh parser, record which one produced the
-    result; all-fail propagates)."""
+    result; all-fail propagates). Validation census flags (encryption,
+    needs_password, producer sniff) are set here — the analog of the
+    reference's separate _validate_pdf_file pass
+    (pdf_extractor.py:591-612)."""
+    parsed: ParsedPdf
     try:
-        return parse_strict(data)
+        parsed = parse_strict(data)
     except Exception:
-        pass
-    try:
-        return parse_lenient(data)
-    except Exception:
-        pass
-    return parse_raw(data)
+        try:
+            parsed = parse_lenient(data)
+        except Exception:
+            parsed = parse_raw(data)
+    enc, needs = encryption_flags(data)
+    parsed.encrypted = parsed.encrypted or enc
+    parsed.needs_password = needs
+    parsed.producer = sniff_producer(data)
+    return parsed

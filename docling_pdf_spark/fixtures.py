@@ -98,8 +98,13 @@ def _pdf_pages(rng: random.Random, n_pages: int) -> list[PageSpec]:
     return pages
 
 
+_PRODUCERS = (None, "fixture-writer 1.4", "sparkpdf 2.1", "legacy-scan 0.9")
+
+
 def _pdf_payload(rng: random.Random, n_pages: int, **kw) -> str:
-    return base64.b64encode(make_pdf(_pdf_pages(rng, n_pages), **kw)).decode("ascii")
+    pages = _pdf_pages(rng, n_pages)
+    kw.setdefault("producer", rng.choice(_PRODUCERS))
+    return base64.b64encode(make_pdf(pages, **kw)).decode("ascii")
 
 
 def _normal_doc(rng: random.Random, doc_id: str, oversized: bool) -> dict:
@@ -156,8 +161,10 @@ def _adversarial_docs(rng: random.Random) -> list[dict]:
              _mk_span("text", f"{_CJK} {_EMOJI} {_RTL}", None, 0),
              _mk_span("pdf", pdf64([PageSpec(texts=[(72.0, 700.0, _CJK + " " + _RTL)])]), None, 1),
          ]},
-        {"doc_id": "adv-encrypted",
+        {"doc_id": "adv-encrypted",  # empty user password: readable, flagged
          "spans": [_mk_span("pdf", pdf64(simple, encrypted=True), None, 0)]},
+        {"doc_id": "adv-needs-password",  # password required: distinct flag
+         "spans": [_mk_span("pdf", pdf64(simple, needs_password=True), None, 0)]},
     ]
 
 

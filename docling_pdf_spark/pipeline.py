@@ -86,7 +86,12 @@ def _chunked_extract_arrow(
         idx = batch.schema.get_field_index("_cost_bytes")
         if idx >= 0:
             cost = batch.column(idx).to_pylist()
-            batch = batch.drop_columns(["_cost_bytes"])
+            # version-safe projection: RecordBatch.drop_columns only
+            # exists in pyarrow >= 16 (round-1 ADVICE — older installs
+            # are common on managed clusters)
+            batch = batch.select(
+                [n for n in batch.schema.names if n != "_cost_bytes"]
+            )
         else:
             spans_idx = batch.schema.get_field_index("spans")
             cost = [
@@ -220,7 +225,12 @@ def run_extraction(
         out = out.withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
         )
-        # dynamic partition overwrite → only this group's bucket dirs replaced
+        # dynamic partition overwrite → only this group's bucket dirs
+        # replaced. Resume SAFETY depends on this conf: with the default
+        # 'static' mode, mode('overwrite') truncates the WHOLE output
+        # path, silently deleting buckets whose manifests say done
+        # (round-1 ADVICE) — so set it here, not only in session.get_spark
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         out.write.partitionBy("bucket").mode("overwrite").parquet(output_path)
 
         # metrics from the committed output (no recompute of the UDF stage)

@@ -50,6 +50,8 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("n_words", T.LongType(), True),
         T.StructField("has_tables", T.BooleanType(), True),
         T.StructField("has_images", T.BooleanType(), True),
+        # X4 metadata sniff (pdf_extractor.py:139-148, :596 /Producer)
+        T.StructField("producer", T.StringType(), True),
         T.StructField("warning", T.StringType(), True),
         T.StructField("error", T.StringType(), True),
     ]
@@ -104,6 +106,7 @@ EXTRACTED_PA = pa.schema(
         ("n_words", pa.int64()),
         ("has_tables", pa.bool_()),
         ("has_images", pa.bool_()),
+        ("producer", pa.string()),
         ("warning", pa.string()),
         ("error", pa.string()),
     ]

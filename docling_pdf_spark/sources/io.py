@@ -91,11 +91,16 @@ class TableIO:
         """Idempotent per-partition write: Iceberg overwritePartitions
         (snapshot-atomic) or parquet dynamic partition overwrite."""
         if self.mode == "iceberg":
-            (
-                df.writeTo(f"{self.catalog}.{table}")
-                .partitionedBy(partition_col)
-                .overwritePartitions()
-            )
+            from pyspark.sql import functions as F
+
+            # bootstrap: partitionedBy only applies on create(); for an
+            # existing table overwritePartitions() alone is correct, and
+            # calling it on a missing table raises — so create first.
+            full = f"{self.catalog}.{table}"
+            if not self.spark.catalog.tableExists(full):
+                df.writeTo(full).partitionedBy(F.col(partition_col)).create()
+                return
+            df.writeTo(full).overwritePartitions()
             return
         df.write.partitionBy(partition_col).mode("overwrite").parquet(
             self._path(table)
@@ -128,11 +133,13 @@ class TableIO:
         not to data correctness."""
         if self.mode != "iceberg":
             return  # parquet fallback keeps everything; retention is external
+        # cutoff must be RELATIVE to now (round-1 ADVICE: an epoch-based
+        # literal made expiry a permanent no-op — nothing is older than
+        # January 1970)
         self.spark.sql(
             f"CALL {self.catalog}.system.expire_snapshots("
             f"table => '{table}', "
-            f"older_than => TIMESTAMP '1970-01-01 00:00:00' + INTERVAL "
-            f"{older_than_days} DAYS)"
+            f"older_than => current_timestamp() - INTERVAL {older_than_days} DAYS)"
         )
 
     def _path(self, table: str) -> str:

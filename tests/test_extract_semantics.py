@@ -116,9 +116,44 @@ def test_bad_magic_is_error_row():
         "n_words": 0,
         "has_tables": False,
         "has_images": False,
+        "producer": None,
         "warning": None,
         "error": "invalid_pdf_magic",
     }
+
+
+def test_encrypted_vs_needs_password_warnings():
+    """Reference pdf_extractor.py:591-612: is_encrypted and needs_pass
+    are DISTINCT flags — empty-user-password PDFs are readable."""
+    readable = extract_document(
+        "d", [sp("pdf", pdf64([PageSpec(texts=[(0, 700.0, "open sesame")])],
+                              encrypted=True))]
+    )
+    assert readable["extraction_successful"]
+    assert readable["warning"] == "encrypted"
+    assert "needs_password" not in (readable["warning"] or "")
+
+    locked = extract_document(
+        "d", [sp("pdf", pdf64([PageSpec(texts=[(0, 700.0, "secret")])],
+                              needs_password=True))]
+    )
+    assert locked["warning"] == "encrypted;needs_password"
+
+
+def test_producer_metadata_column():
+    """X4 producer sniff (pdf_extractor.py:139-148, :596): the /Producer
+    string surfaces as a metrics column; docs without one get null."""
+    row = extract_document(
+        "d", [sp("pdf", pdf64([PageSpec(texts=[(0, 700.0, "hello world")])],
+                              producer="fixture-writer 1.4"))]
+    )
+    assert row["producer"] == "fixture-writer 1.4"
+    bare = extract_document(
+        "d", [sp("pdf", pdf64([PageSpec(texts=[(0, 700.0, "hello world")])]))]
+    )
+    assert bare["producer"] is None
+    no_pdf = extract_document("d", [sp("text", "plain text only")])
+    assert no_pdf["producer"] is None
 
 
 def test_oversize_is_error_row(monkeypatch):

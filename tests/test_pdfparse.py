@@ -70,6 +70,35 @@ def test_encrypted_flag_from_trailer():
     assert parse_strict(pdf).encrypted
 
 
+def test_needs_password_distinct_from_encrypted():
+    """ISO 32000-1 §7.6.3.3: empty-user-password /U equals the padding
+    constant → readable; any other /U → password required."""
+    from docling_pdf_spark.core.pdfparse import encryption_flags, parse_ladder
+
+    plain = make_pdf([_page((72, 700, "x"))])
+    assert encryption_flags(plain) == (False, False)
+
+    readable = make_pdf([_page((72, 700, "x"))], encrypted=True)
+    assert encryption_flags(readable) == (True, False)
+    p = parse_ladder(readable)
+    assert p.encrypted and not p.needs_password
+
+    locked = make_pdf([_page((72, 700, "x"))], needs_password=True)
+    assert encryption_flags(locked) == (True, True)
+    p = parse_ladder(locked)
+    assert p.encrypted and p.needs_password
+
+
+def test_producer_sniff():
+    from docling_pdf_spark.core.pdfparse import parse_ladder, sniff_producer
+
+    pdf = make_pdf([_page((72, 700, "x"))], producer="writer (v2) \\ test")
+    # escaped parens/backslash in the literal round-trip exactly
+    assert sniff_producer(pdf) == "writer (v2) \\ test"
+    assert parse_ladder(pdf).producer == "writer (v2) \\ test"
+    assert parse_ladder(make_pdf([_page((72, 700, "x"))])).producer is None
+
+
 def test_images_counted_per_page():
     pdf = make_pdf([_page((72, 700, "x"), n_images=2), _page((72, 700, "y"))])
     parsed = parse_strict(pdf)
