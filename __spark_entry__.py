@@ -179,6 +179,34 @@ FROM base
 """
 
 
+def _extract_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page stats over the extraction output (reference parity:
+    pdf_extractor.py:527-533 computes per-page word/char counts on the
+    fallback path only; here they exist for every extraction_method as
+    a relational consumer of the span encoding). Fully oracled: the
+    synthetic corpus yields two text pages per doc, each the original
+    text."""
+    from docling_pdf_spark.operators.textstats import page_stats
+    from docling_pdf_spark.pipeline import extract
+
+    _ship_package(spark)
+    return page_stats(
+        extract(_interleaved_from_documents(spark, sf_dir), num_partitions=8)
+    )
+
+
+SQL_EXTRACT_PAGE_STATS = r"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, length(text) AS lt,
+         len(string_split_regex(trim(text), '\s+')) AS words
+  FROM documents
+)
+SELECT doc_id, p.page_number, lt AS page_chars, words AS page_words,
+       'native' AS extraction_method
+FROM base, (SELECT unnest([0, 1]) AS page_number) p
+"""
+
+
 def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_pdf_spark.operators.dedup import minhash_lsh_dedup
 
@@ -227,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = spark_queries()
     # flagship: full extraction pipeline, exploded to scalars + oracled
     q["extract_interleaved"] = _extract_interleaved
+    q["extract_page_stats"] = _extract_page_stats
     # non-SQL-expressible ops (custom hash functions) — driver records
     # the weaker rows-only check; full correctness is covered by tests/
     # (LSH recall, IVF recall, subset invariants)
@@ -242,4 +271,5 @@ def oracle_sql() -> dict[str, str]:
 
     o = duckdb_oracles()
     o["extract_interleaved"] = SQL_EXTRACT_INTERLEAVED
+    o["extract_page_stats"] = SQL_EXTRACT_PAGE_STATS
     return o

@@ -29,6 +29,31 @@ TOKEN_FREQ_SCHEMA = T.StructType(
 )
 
 
+def page_stats(extracted: DataFrame) -> DataFrame:
+    """Per-page word/char counts over an EXTRACTED_SCHEMA table.
+
+    The reference computes per-page `word_count`/`character_count` only
+    on its fallback path (docling-pdf pdf_extractor.py:527-533 — the
+    docling path discards them, SURVEY.md §1.1 schema asymmetry). Here
+    the stats are a relational consumer of the span encoding, so they
+    exist for EVERY extraction_method: one posexplode over the text
+    spans, pure JVM expressions, no Python stage."""
+    s = F.col("s")
+    return extracted.select(
+        "doc_id",
+        "extraction_method",
+        F.posexplode(
+            F.filter(F.coalesce(F.col("spans"), F.array()), lambda x: x["kind"] == "text")
+        ).alias("page_number", "s"),
+    ).select(
+        "doc_id",
+        "page_number",
+        F.length(s["text"]).alias("page_chars"),
+        F.size(F.split(F.trim(s["text"]), r"\s+")).alias("page_words"),
+        "extraction_method",
+    )
+
+
 def top_tokens_per_language(
     docs: DataFrame, k: int = 10, lang_col: str = "lang", text_col: str = "text"
 ) -> DataFrame:
