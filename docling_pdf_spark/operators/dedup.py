@@ -61,8 +61,14 @@ def bucket_cap_stats(
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingle_hash) — distinct word-5-gram xxhash64 shingles."""
-    toks = F.split(F.col(text_col), " ")
+    """(id, shingle_hash) — distinct word-5-gram xxhash64 shingles.
+
+    The token array is projected as its own column before the gram
+    transform: inlining the split into the lambda makes codegen
+    re-evaluate it per element_at (5 × shingles/doc — measured 12×
+    slower at sf0.1)."""
+    tokd = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+    toks = F.col("toks")
     starts = F.when(
         F.size(toks) >= SHINGLE_WORDS,
         F.sequence(F.lit(1), F.size(toks) - (SHINGLE_WORDS - 1)),
@@ -70,7 +76,7 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + k) for k in range(SHINGLE_WORDS)]
     )
-    return docs.select(
+    return tokd.select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.transform(starts, lambda i: F.xxhash64(gram(i))))

@@ -374,7 +374,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominators stay exact."""
     from docling_pdf_spark.conf import MAX_LSH_BUCKET
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # project the token array FIRST: if the split expression is inlined
+    # into the transform lambda, codegen re-evaluates it per element_at
+    # (5 per shingle × ~90 shingles/doc — measured 12× slower)
+    tokd = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
     starts = F.when(
         F.size(toks) >= 5, F.sequence(F.lit(1), F.size(toks) - 4)
     ).otherwise(F.array().cast("array<int>"))
@@ -386,7 +390,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(toks, i + 3),
         F.element_at(toks, i + 4),
     )
-    sh = docs.select(
+    sh = tokd.select(
         "doc_id",
         F.explode(
             F.array_distinct(F.transform(starts, lambda i: F.xxhash64(gram(i))))
