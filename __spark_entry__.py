@@ -207,6 +207,60 @@ FROM base, (SELECT unnest([0, 1]) AS page_number) p
 """
 
 
+def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming as a driver-ORACLED entry: a genuine
+    readStream file source over the events table → watermarked tumbling
+    1h window aggregate → availableNow trigger into an in-memory sink;
+    the materialized table is returned as the result. availableNow
+    processes the complete backlog, so the result must equal the batch
+    group-by — the oracle below is plain SQL over the same parquet."""
+    import hashlib
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.streaming.jobs import windowed_event_counts
+
+    src = f"{sf_dir}/events.parquet"
+    # the file stream source requires a DIRECTORY; stage a symlink
+    # (deterministic path, no data copied, testdata untouched)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_src_" + hashlib.md5(src.encode()).hexdigest()[:10],
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(src), link)
+
+    batch_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(batch_schema).parquet(d)
+    name = "stream_windowed_counts_result"
+    q = (
+        windowed_event_counts(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+    )
+
+
+SQL_STREAMING_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_pdf_spark.operators.dedup import minhash_lsh_dedup
 
@@ -256,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # flagship: full extraction pipeline, exploded to scalars + oracled
     q["extract_interleaved"] = _extract_interleaved
     q["extract_page_stats"] = _extract_page_stats
+    q["streaming_windowed_counts"] = _streaming_windowed_counts
     # non-SQL-expressible ops (custom hash functions) — driver records
     # the weaker rows-only check; full correctness is covered by tests/
     # (LSH recall, IVF recall, subset invariants)
@@ -272,4 +327,5 @@ def oracle_sql() -> dict[str, str]:
     o = duckdb_oracles()
     o["extract_interleaved"] = SQL_EXTRACT_INTERLEAVED
     o["extract_page_stats"] = SQL_EXTRACT_PAGE_STATS
+    o["streaming_windowed_counts"] = SQL_STREAMING_WINDOWED
     return o
