@@ -740,6 +740,109 @@ SELECT lang, CAST(rank AS INTEGER) AS rank, token, freq FROM (
 """
 
 
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join coverage: for every click event, the most recent prior
+    (ts ≤ click ts) purchase value by the same user — the operator Spark
+    lacks natively, composed as ONE union + window shuffle
+    (operators/asof.py); oracle is DuckDB's native ASOF LEFT JOIN."""
+    from docling_pdf_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # right side unique per (user, ts): max(value) is an exact pick, so
+    # no representation rounding is needed
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    return asof_join(
+        clicks, purch, on="ts", by="user_id",
+        value_col="pval", out_col="last_purchase_value",
+    )
+
+
+SQL_ASOF_LAST_PURCHASE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, ts, max(value) AS pval
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts, p.pval AS last_purchase_value
+FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP coverage: subtotals + grand total in one pass (partial
+    aggregation handles all grouping sets map-side)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_qty"),
+        )
+    )
+
+
+SQL_ROLLUP_LINEITEM = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (F.percentile uses linear
+    interpolation — same definition as DuckDB quantile_cont)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+SQL_EVENT_VALUE_PERCENTILES = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot coverage: per-user event-type count matrix. The pivot value
+    list is EXPLICIT (no extra distinct-scan job; at scale an implicit
+    pivot runs a full pre-pass to discover values)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pv = ev.groupBy("user_id").pivot("event_type", types).count()
+    return pv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+SQL_PIVOT_EVENT_MATRIX = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 # =====================================================================
 # Catalog
 # =====================================================================
@@ -770,6 +873,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "parts_by_type": (q_parts_by_type, SQL_PARTS_BY_TYPE),
     "top_tokens_per_language": (q_top_tokens_per_language, SQL_TOP_TOKENS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+    "asof_last_purchase": (q_asof_last_purchase, SQL_ASOF_LAST_PURCHASE),
+    "rollup_lineitem": (q_rollup_lineitem, SQL_ROLLUP_LINEITEM),
+    "event_value_percentiles": (q_event_value_percentiles, SQL_EVENT_VALUE_PERCENTILES),
+    "pivot_event_matrix": (q_pivot_event_matrix, SQL_PIVOT_EVENT_MATRIX),
 }
 
 

@@ -247,6 +247,36 @@ def test_embedding_near_dups_bucketed_planted_recall(spark):
     assert len(bucketed) / len(exact) >= 0.8  # measured 1.0
 
 
+# ------------------------------------------------------- as-of join
+
+
+def test_asof_join_semantics(spark):
+    """ASOF >= semantics: greatest right.ts <= left.ts per key; equal
+    timestamps match; no prior right row -> null; later rows ignored."""
+    import datetime as dt
+
+    from docling_pdf_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u1", t(10)), (2, "u1", t(20)), (3, "u2", t(5)), (4, "u3", t(30))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u1", t(10), 100.0), ("u1", t(15), 150.0), ("u2", t(6), 60.0)],
+        ["user_id", "ts", "pval"],
+    )
+    got = {
+        r["event_id"]: r["v"]
+        for r in asof_join(left, right, on="ts", by="user_id",
+                           value_col="pval", out_col="v").collect()
+    }
+    assert got[1] == 100.0   # equal ts matches (>= semantics)
+    assert got[2] == 150.0   # greatest ts <= 20
+    assert got[3] is None    # u2's only right row is LATER -> no match
+    assert got[4] is None    # u3 has no right rows at all
+
+
 # ------------------------------------------------- mega-bucket caps
 
 
