@@ -37,8 +37,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from docling_pdf_spark.functions.text import (
+    BPE_PRETOKEN_PATTERN,
+    bpe_token_count,
     digit_ratio,
     normalized_fingerprint,
+    punct_ratio,
     stopword_hits,
     token_count,
 )
@@ -518,6 +521,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_tok_len"
         ),
         F.round(digit_ratio("text"), 4).alias("digit_ratio"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
     )
 
 
@@ -527,7 +531,29 @@ SELECT doc_id,
        round(CAST(length(text) AS DOUBLE) /
              len(string_split_regex(trim(text), '\s+')), 4) AS mean_tok_len,
        round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-             / length(text), 4) AS digit_ratio
+             / length(text), 4) AS digit_ratio,
+       round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+             / length(text), 4) AS punct_ratio
+FROM documents
+"""
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (driver brief: 'whitespace + a BPE-ish
+    regex'): pretokenizer-match count alongside the whitespace count —
+    both JVM-side regexp expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count("text").alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+    )
+
+
+SQL_BPE_TOKEN_COUNTS = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_PRETOKEN_PATTERN.replace("'", "''")}')) AS n_bpe_tokens,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
 FROM documents
 """
 
@@ -877,6 +903,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "rollup_lineitem": (q_rollup_lineitem, SQL_ROLLUP_LINEITEM),
     "event_value_percentiles": (q_event_value_percentiles, SQL_EVENT_VALUE_PERCENTILES),
     "pivot_event_matrix": (q_pivot_event_matrix, SQL_PIVOT_EVENT_MATRIX),
+    "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
 }
 
 

@@ -247,6 +247,36 @@ def test_embedding_near_dups_bucketed_planted_recall(spark):
     assert len(bucketed) / len(exact) >= 0.8  # measured 1.0
 
 
+# ------------------------------------------------- text functions
+
+
+def test_bpe_token_count_and_punct_ratio(spark):
+    """The pretokenizer must split contractions, letter runs, digit runs
+    and punctuation runs the way the GPT-2-family regex does (the
+    documents corpus is punctuation-free, so the oracle parity test
+    alone would not exercise these branches)."""
+    from docling_pdf_spark.functions.text import bpe_token_count, punct_ratio
+
+    rows = [
+        (1, "hello world"),        # 2 pretokens
+        (2, "it's 2024, folks!"),  # it|'s| 2024|,| folks|! = 6
+        (3, "abc"),                # 1
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        r["id"]: (r["n"], r["p"])
+        for r in df.select(
+            "id",
+            bpe_token_count("t").alias("n"),
+            F.round(punct_ratio("t"), 4).alias("p"),
+        ).collect()
+    }
+    assert got[1] == (2, 0.0)
+    assert got[2][0] == 6
+    assert got[2][1] == round(3 / len("it's 2024, folks!"), 4)  # ' , !
+    assert got[3] == (1, 0.0)
+
+
 # ------------------------------------------------------- as-of join
 
 
