@@ -1,0 +1,103 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+"Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003;
+the MOSS algorithm). The rolling-hash fingerprinting half of the driver
+brief's "document fingerprinting (rolling hash)".
+
+Per document: hash every character k-gram, slide a window of w
+consecutive hashes, keep the minimum of each window, dedupe. Guarantee:
+any substring match of length ≥ w + k − 1 between two documents yields
+at least one shared fingerprint — so shared-fingerprint bucketing finds
+partial-overlap near-dups (plagiarism/quotation/boilerplate reuse) that
+whole-document hashing misses.
+
+Everything is JVM-side higher-order array expressions (transform /
+slice / array_min) — no Python, no shuffle until the consumer buckets
+by fingerprint. The k-gram hash is the low 60 bits of md5 (hex chars
+18..32), chosen because DuckDB computes the identical value
+(`CAST('0x' || substr(md5(s), 18, 15) AS BIGINT)`), making the operator
+exactly oracle-checkable.
+
+The hash array is projected as its own column BEFORE the window
+transform (same lesson as operators/dedup.shingles: an inlined array
+expression is re-evaluated per slice — O(n·w) recompute).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docling_pdf_spark.conf import MAX_LSH_BUCKET
+from docling_pdf_spark.operators.dedup import _cap_buckets
+
+WINNOW_K = 8  # k-gram length (chars)
+WINNOW_W = 4  # window length (hashes)
+
+
+def _gram_hash(gram):
+    """Low 60 bits of md5 as a BIGINT — engine-portable (DuckDB:
+    CAST('0x' || substr(md5(s), 18, 15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(gram), 18, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, fingerprint) — the distinct winnowed fingerprint set."""
+    text = F.col(text_col)
+    gram_starts = F.when(
+        F.length(text) >= k,
+        F.sequence(F.lit(1), F.length(text) - (k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(
+            gram_starts, lambda i: _gram_hash(text.substr(i, F.lit(k)))
+        ).alias("hs"),
+    )
+    hs = F.col("hs")
+    win_starts = F.when(
+        F.size(hs) >= w, F.sequence(F.lit(1), F.size(hs) - (w - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return hashed.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(win_starts, lambda j: F.array_min(F.slice(hs, j, w)))
+            )
+        ).alias("fingerprint"),
+    )
+
+
+def winnow_near_dup_pairs(
+    docs: DataFrame,
+    min_shared: int = 3,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """Candidate pairs sharing ≥ min_shared winnowed fingerprints —
+    catches partial-overlap reuse (a shared passage of ≥ w+k−1 chars
+    guarantees ≥1 shared fingerprint). Same one-shuffle bucket pattern
+    and mega-bucket cap as the other dedup operators."""
+    fp = winnow_fingerprints(docs, k, w, id_col, text_col)
+    capped = _cap_buckets(fp, ["fingerprint"], max_bucket)
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -869,6 +869,32 @@ FROM events GROUP BY user_id
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints — rolling k-gram hash, per-window
+    minimum, dedupe (operators/winnow.py). The hash is engine-portable
+    (low 60 bits of md5), so the oracle computes the IDENTICAL
+    fingerprints in SQL."""
+    from docling_pdf_spark.operators.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+SQL_WINNOW_FINGERPRINTS = """
+WITH g AS (
+  SELECT doc_id,
+         [CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 18, 15)) AS BIGINT)
+          FOR i IN range(1, length(text) - 8 + 2)] AS hs
+  FROM documents WHERE length(text) >= 8
+), w AS (
+  SELECT doc_id,
+         [list_min(hs[CAST(j AS INT):CAST(j + 3 AS INT)])
+          FOR j IN range(1, len(hs) - 4 + 2)] AS wins
+  FROM g WHERE len(hs) >= 4
+)
+SELECT DISTINCT doc_id, unnest(wins) AS fingerprint FROM w
+"""
+
+
 # =====================================================================
 # Catalog
 # =====================================================================
@@ -904,6 +930,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "event_value_percentiles": (q_event_value_percentiles, SQL_EVENT_VALUE_PERCENTILES),
     "pivot_event_matrix": (q_pivot_event_matrix, SQL_PIVOT_EVENT_MATRIX),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
 }
 
 

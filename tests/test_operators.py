@@ -247,6 +247,40 @@ def test_embedding_near_dups_bucketed_planted_recall(spark):
     assert len(bucketed) / len(exact) >= 0.8  # measured 1.0
 
 
+# -------------------------------------------------------- winnowing
+
+
+def test_winnowing_guarantee_and_pairs(spark):
+    """SIGMOD'03 guarantee: a shared substring of length ≥ w+k−1
+    (= 11 here) produces ≥1 shared fingerprint; disjoint texts share
+    none; the pair consumer finds the overlapping pair only."""
+    from docling_pdf_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_near_dup_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, f"intro text before {shared} and an ending one"),
+        (2, f"totally other opening {shared} different closing words"),
+        (3, "no overlap whatsoever in this completely unrelated document text"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(docs)
+    by_doc: dict[int, set] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]          # shared passage → shared fingerprint
+    assert not (by_doc[1] & by_doc[3])    # disjoint text → disjoint sets
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_near_dup_pairs(docs, min_shared=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert not any(3 in p for p in pairs)
+
+
 # ------------------------------------------------- text functions
 
 
