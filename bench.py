@@ -48,6 +48,12 @@ BENCH_QUERIES = [
     "set_ops_purchasers",
     "embedding_stats",
     "parts_by_type",
+    "asof_last_purchase",
+    "rollup_lineitem",
+    "event_value_percentiles",
+    "pivot_event_matrix",
+    "bpe_token_counts",
+    "winnow_fingerprints",
 ]
 
 CORPUS_DOCS = 10_000

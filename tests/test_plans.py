@@ -82,6 +82,21 @@ def test_no_python_in_relational_plans(spark, fn):
         assert marker not in plan  # relational queries never enter Python
 
 
+def test_asof_join_is_single_shuffle(spark):
+    """The union+window as-of formulation must cost exactly one
+    hash-partition exchange (on the by-key) — no range-join explosion,
+    no extra sort-merge join."""
+    from docling_pdf_spark.queries import q_asof_last_purchase
+    from docling_pdf_spark.plans import formatted_plan
+
+    plan = formatted_plan(q_asof_last_purchase(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # exchanges: the window's hashpartitioning(user_id) plus the partial
+    # aggregate for the right-side dedup — but never a join exchange pair
+    assert plan.count("hashpartitioning(user_id") <= 4  # tree+detail dup
+    assert "Window" in plan
+
+
 def test_top_tokens_preaggregates_before_python(spark):
     """The two-level combine: token counts are a JVM partial+final hash
     aggregate (map-side combine) BEFORE the grouped-map pandas kernel,
