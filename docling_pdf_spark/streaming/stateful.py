@@ -53,6 +53,78 @@ def _dedup_fn(
     state.update((seen + len(rows),))
 
 
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_sessions", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("sum_value", T.DoubleType(), False),
+    ]
+)
+
+# (epoch seconds of last event, session count, event count, value sum)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts", T.DoubleType(), False),
+        T.StructField("n_sessions", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("sum_value", T.DoubleType(), False),
+    ]
+)
+
+SESSION_GAP_SEC = 1800  # same 30-min inactivity gap as queries.q_sessionization
+
+
+def _session_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts", "event_id"], ignore_index=True
+    )
+    t = rows["ts"].astype("int64") / 1e9  # ns → epoch seconds
+    prev = t.shift(1)
+    if state.exists:
+        last_ts, ns, ne, sv = state.get
+        prev.iloc[0] = last_ts
+    else:
+        ns, ne, sv = 0, 0, 0.0
+    new_session = prev.isna() | ((t - prev) > SESSION_GAP_SEC)
+    ns += int(new_session.sum())
+    ne += len(rows)
+    sv += float(rows["value"].sum())
+    state.update((float(t.iloc[-1]), ns, ne, sv))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_sessions": [ns], "n_events": [ne], "sum_value": [sv]}
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Streaming gap-based sessionization (the incremental form of
+    queries.q_sessionization's batch window): per-user running
+    (n_sessions, n_events, sum_value), state = one 4-field row per user.
+    A new session starts after >30 min of inactivity; the cross-batch
+    boundary is carried in state as the last event's timestamp, so a
+    session spanning two micro-batches is NOT double-counted.
+
+    Emits current totals per user each micro-batch (update mode) — a
+    fully drained stream's final row per user equals the batch query
+    (pinned by test). Requires event-time-ordered arrival across
+    micro-batches (file-source ordering here; use a watermark + event
+    buffer for out-of-order sources)."""
+    keyed = events.select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Streaming DataFrame of (doc_id, text, ...) → first arrival per
     normalized fingerprint, exactly once across all micro-batches.

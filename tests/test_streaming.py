@@ -137,3 +137,72 @@ def test_streaming_dedup_stateful_across_batches(spark, tmp_path):
     # the cross-batch duplicate (beta in batch 2) was suppressed:
     docs = sorted(rows.values())
     assert "c1" in docs
+
+
+def test_streaming_sessionization_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization over TWO micro-batches
+    (time-split files, sessions spanning the boundary carried in state)
+    must equal the batch window formulation on the full table."""
+    from docling_pdf_spark.streaming.stateful import sessionize_stream
+
+    # slice with pyarrow so the parquet types match the source exactly
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet").sort_by(
+        [("ts", "ascending"), ("event_id", "ascending")]
+    )
+    d = tmp_path / "ev-in"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(d / "f0.parquet"))
+    pq.write_table(t.slice(half), str(d / "f1.parquet"))
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessionize_result")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # update mode appends one row per (user, micro-batch); the final
+    # totals are the row with the highest n_events per user
+    got = {}
+    for r in spark.table("sessionize_result").collect():
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[1]:
+            got[r["user_id"]] = (r["n_sessions"], r["n_events"], r["sum_value"])
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    want = {
+        r["user_id"]: (r["ns"], r["ne"], r["sv"])
+        for r in (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .withColumn(
+                "new_session",
+                F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.sum("new_session").alias("ns"),
+                F.count("*").alias("ne"),
+                F.sum("value").alias("sv"),
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], f"user {u} sessions"
+        assert got[u][1] == want[u][1], f"user {u} events"
+        assert got[u][2] == pytest.approx(want[u][2], rel=1e-9), f"user {u} sum"
