@@ -206,3 +206,54 @@ def test_streaming_sessionization_equals_batch(spark, tmp_path):
         assert got[u][0] == want[u][0], f"user {u} sessions"
         assert got[u][1] == want[u][1], f"user {u} events"
         assert got[u][2] == pytest.approx(want[u][2], rel=1e-9), f"user {u} sum"
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    broadcast dimension inside the micro-batch plan — results equal the
+    batch join."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    dim = (
+        ev.select("user_id").distinct()
+        .withColumn("segment", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+
+    stream = spark.readStream.schema(ev.schema).parquet(str(_stage_events_dir(tmp_path)))
+    enriched = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_result")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["segment"], r["event_type"]): r["n"]
+        for r in spark.table("enrich_result").collect()
+    }
+    want = {
+        (r["segment"], r["event_type"]): r["n"]
+        for r in ev.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) >= 2
+
+
+def _stage_events_dir(tmp_path):
+    import os
+
+    d = tmp_path / "ev-dir"
+    d.mkdir(exist_ok=True)
+    link = d / "events.parquet"
+    if not link.exists():
+        os.symlink("/root/testdata/sf0.001/events.parquet", str(link))
+    return d
