@@ -766,6 +766,66 @@ SELECT lang, CAST(rank AS INTEGER) AS rank, token, freq FROM (
 """
 
 
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way star join: revenue per nation within one
+    region, customer and supplier in the SAME nation. All four dims
+    (region→nation, customer, supplier) broadcast; the only shuffle is
+    lineitem⋈orders plus the final small aggregate."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nations_in_region = nation.join(
+        F.broadcast(region.where(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nations_in_region),
+            (F.col("c_nationkey") == F.col("n_nationkey"))
+            & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast("decimal(18,2)")
+                        * (
+                            F.lit(1).cast("decimal(18,2)")
+                            - F.col("l_discount").cast("decimal(18,2)")
+                        )
+                    ).cast("decimal(18,4)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT n_name,
+       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join coverage: for every click event, the most recent prior
     (ts ≤ click ts) purchase value by the same user — the operator Spark
@@ -931,6 +991,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "pivot_event_matrix": (q_pivot_event_matrix, SQL_PIVOT_EVENT_MATRIX),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
 }
 
 

@@ -82,6 +82,20 @@ def test_no_python_in_relational_plans(spark, fn):
         assert marker not in plan  # relational queries never enter Python
 
 
+def test_regional_revenue_broadcasts_all_dims(spark):
+    """TPC-H Q5-style star join: region filter pushed to the scan, every
+    dim join broadcast, no sort-merge join anywhere."""
+    from docling_pdf_spark.queries import q_regional_revenue
+    from docling_pdf_spark.plans import plan_report
+
+    rep = plan_report(q_regional_revenue(spark, SF_DIR))
+    assert rep["has_pushdown"]
+    assert any("EqualTo(r_name,ASIA)" in f for f in rep["pushed_filters"])
+    assert rep["broadcast_joins"] >= 4
+    assert rep["sortmerge_joins"] == 0
+    assert rep["python_stages"] == 0
+
+
 def test_asof_join_is_single_shuffle(spark):
     """The union+window as-of formulation must cost exactly one
     hash-partition exchange (on the by-key) — no range-join explosion,
