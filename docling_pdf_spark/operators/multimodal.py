@@ -44,15 +44,40 @@ FEATURE_SCHEMA = T.StructType(
 HIST_BINS = 16
 
 
-def decode_image(data: bytes) -> "np.ndarray":
-    """STUB: real pixel decode needs an image codec (PIL/libjpeg) that
-    is not installed in this container. The Spark plumbing around it
-    (schema, batching, partitioning) is real and tested."""
+def decode_image(data: bytes, engine: str = "real") -> "np.ndarray":
+    """Pixel decode. engine='real' is a STUB (needs an image codec —
+    PIL/libjpeg — not installed in this container). engine='fake' is a
+    DETERMINISTIC FAKE per the driver mandate: bytes are tiled into a
+    fixed 32×32 grayscale array — not real pixels, but a stable,
+    shape-correct stand-in that drives the full downstream plumbing
+    (resize, feature UDFs) in tests."""
+    if engine == "fake":
+        arr = np.frombuffer(data or b"\x00", dtype=np.uint8)
+        return np.resize(arr, (32, 32))
     raise NotImplementedError("image codec not available in this environment")
 
 
-def sample_video_frames(data: bytes, every_ms: int = 1000) -> list[bytes]:
-    """STUB: real frame sampling needs ffmpeg/pyav (not installed)."""
+def resize_image(img: "np.ndarray", out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbour resize via index striding — pure numpy (no
+    codec needed; works on real pixels and on the deterministic fake)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[np.ix_(ys, xs)]
+
+
+def sample_video_frames(
+    data: bytes, every_ms: int = 1000, engine: str = "real"
+) -> list[bytes]:
+    """Frame sampling. engine='real' is a STUB (needs ffmpeg/pyav).
+    engine='fake': the byte stream is treated as 1 KiB-per-100ms fake
+    'frames'; every_ms selects every k-th chunk — deterministic, and
+    exercises the one-row-in/many-frames-out UDF shape."""
+    if engine == "fake":
+        chunk, ms_per_chunk = 1024, 100
+        step = max(1, every_ms // ms_per_chunk)
+        chunks = [data[i : i + chunk] for i in range(0, len(data or b""), chunk)]
+        return chunks[::step]
     raise NotImplementedError("video codec not available in this environment")
 
 
@@ -91,6 +116,64 @@ def media_features(assets: DataFrame) -> DataFrame:
     return balanced.select("media_ref", "media_kind", "data").mapInPandas(
         _feature_batches, schema=FEATURE_SCHEMA
     )
+
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("thumb_h", T.IntegerType(), False),
+        T.StructField("thumb_w", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.IntegerType()), True),  # row-major
+    ]
+)
+
+
+def image_thumbnails(
+    assets: DataFrame, out_h: int = 8, out_w: int = 8, engine: str = "fake"
+) -> DataFrame:
+    """decode → resize → flat pixel array, Arrow-batched. With
+    engine='fake' the decode is the deterministic stand-in (real codecs
+    absent here); the Spark plumbing — batch iteration, schema, output
+    shape — is exactly what a real decoder plugs into."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for ref, data in zip(b["media_ref"], b["data"]):
+                img = decode_image(bytes(data or b""), engine=engine)
+                thumb = resize_image(img, out_h, out_w)
+                out.append((ref, out_h, out_w, [int(x) for x in thumb.ravel()]))
+            yield pd.DataFrame(out, columns=["media_ref", "thumb_h", "thumb_w", "pixels"])
+
+    imgs = assets.where(F.col("media_kind") == "image")
+    return imgs.select("media_ref", "data").mapInPandas(kernel, schema=THUMBNAIL_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_bytes", T.LongType(), False),
+    ]
+)
+
+
+def video_frame_index(
+    assets: DataFrame, every_ms: int = 1000, engine: str = "fake"
+) -> DataFrame:
+    """One row in → many frames out (the frame-sampling UDF shape):
+    each sampled frame becomes a row with its byte size."""
+
+    def kernel(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for ref, data in zip(b["media_ref"], b["data"]):
+                frames = sample_video_frames(bytes(data or b""), every_ms, engine=engine)
+                out.extend((ref, i, len(f)) for i, f in enumerate(frames))
+            yield pd.DataFrame(out, columns=["media_ref", "frame_idx", "frame_bytes"])
+
+    vids = assets.where(F.col("media_kind") == "video")
+    return vids.select("media_ref", "data").mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
 def link_media_to_documents(extracted: DataFrame, features: DataFrame) -> DataFrame:

@@ -152,6 +152,46 @@ def test_decode_stubs_are_marked(spark):
         sample_video_frames(b"\x00")
 
 
+def test_fake_decode_thumbnails_and_frames(spark, tmp_path):
+    """The deterministic fake codec drives the FULL Spark plumbing:
+    decode→resize thumbnails (fixed shape, deterministic pixels) and
+    one-row-in/many-out frame sampling."""
+    from docling_pdf_spark.operators.multimodal import (
+        image_thumbnails,
+        video_frame_index,
+    )
+
+    path = str(tmp_path / "assets.parquet")
+    pq.write_table(gen_media_assets(120), path)
+    assets = spark.read.parquet(path)
+
+    thumbs = image_thumbnails(assets, out_h=8, out_w=8).collect()
+    n_images = assets.where(F.col("media_kind") == "image").count()
+    assert len(thumbs) == n_images
+    for r in thumbs[:10]:
+        assert (r["thumb_h"], r["thumb_w"]) == (8, 8)
+        assert len(r["pixels"]) == 64
+        assert all(0 <= p <= 255 for p in r["pixels"])
+    # determinism: same input → same pixels
+    again = image_thumbnails(assets, out_h=8, out_w=8).collect()
+    assert {r["media_ref"]: r["pixels"] for r in thumbs} == {
+        r["media_ref"]: r["pixels"] for r in again
+    }
+
+    frames = video_frame_index(assets, every_ms=500).collect()
+    vids = {r["media_ref"]: int(r["nb"]) for r in
+            assets.where(F.col("media_kind") == "video")
+            .select("media_ref", F.length("data").alias("nb")).collect()}
+    assert vids  # fixture generates some videos
+    by_ref: dict[str, list] = {}
+    for r in frames:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for ref, rs in by_ref.items():
+        # every_ms=500 → every 5th 1KiB chunk
+        expected = len(range(0, (vids[ref] + 1023) // 1024, 5))
+        assert len(rs) == expected
+
+
 def test_link_media_to_documents(spark, tmp_path):
     import __spark_entry__ as se
 
