@@ -144,26 +144,33 @@ class _Extractor(HTMLParser):
 # fast tokenizer: a compiled-regex scanner that drives the SAME
 # _Extractor state machine as stdlib html.parser. ~4× faster (the
 # stdlib tokenizer dominated extraction CPU); the stdlib path is kept
-# and an equivalence test pins both to identical output on the corpus.
+# and equivalence tests (corpus + 120k-soup fuzz) pin both to identical
+# output.
 # ---------------------------------------------------------------------
 
 import re
 from html import unescape as _unescape_entities
 
 # tokenization fidelity: reuse html.parser's OWN compiled tolerant
-# regexes for tag-end location and attribute parsing, so malformed
+# regexes AND its exact goahead()/parse_* control flow, so malformed
 # markup tokenizes byte-identically to the stdlib path — the speedup
 # comes from replacing the per-character goahead() event loop with one
 # regex scan per construct, not from different grammar rules.
 from html import parser as _hp
 
-_LT_RE = re.compile(r"<")
-_COMMENT_CLOSE = re.compile(r"--\s*>")
-_DECL_CLOSE = re.compile(r">")
+_COMMENT_CLOSE = re.compile(r"--\s*>")  # _markupbase._commentclose
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>")  # _markupbase._markedsectionclose
+_MS_MARKED_CLOSE = re.compile(r"]\s*>")  # _markupbase._msmarkedsectionclose
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")  # _declname_match
+# set_cdata_mode's `interesting`: the FULL close tag including '>' —
+# '</script<' or '</script foo>' inside script is plain cdata data
 _RAWTEXT_CLOSE = {
-    "script": re.compile(r"</\s*script", re.I),
-    "style": re.compile(r"</\s*style", re.I),
+    "script": re.compile(r"</\s*script\s*>", re.I),
+    "style": re.compile(r"</\s*style\s*>", re.I),
 }
+_ASCII_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+# check_for_whole_start_tag's "end of input in or before attr value" set
+_STARTTAG_CONT = frozenset("abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 
 def _emit_data(machine: _Extractor, text: str) -> None:
@@ -171,24 +178,147 @@ def _emit_data(machine: _Extractor, text: str) -> None:
         machine.handle_data(_unescape_entities(text) if "&" in text else text)
 
 
-def _eof_recover(machine: _Extractor, html: str, i: int) -> int:
-    """stdlib goahead() recovery for an unclosed construct at EOF:
-    emit raw data up to the first '>' (else next '<', else one char)
-    and resume there (html.parser goahead, k<0 branch)."""
+def _eof_recover(machine: _Extractor, html: str, i: int, unesc: bool = True) -> int:
+    """stdlib goahead() recovery for an unparseable construct (k<0
+    branch with end=1): emit data up to the first '>' (else next '<',
+    else one char) and resume there. convert_charrefs=True means the
+    emitted chunk IS unescaped — except in cdata mode (unesc=False)."""
     gt = html.find(">", i + 1)
     if gt >= 0:
         k = gt + 1
     else:
         lt2 = html.find("<", i + 1)
         k = lt2 if lt2 >= 0 else i + 1
-    machine.handle_data(html[i:k])  # raw: stdlib recovery skips unescape
+    if unesc:
+        _emit_data(machine, html[i:k])
+    else:
+        machine.handle_data(html[i:k])
     return k
+
+
+def _do_starttag(machine: _Extractor, html: str, i: int) -> tuple[int, str | None]:
+    """parse_starttag + check_for_whole_start_tag, exactly.
+    Returns (next_pos, cdata_elem or None); next_pos<0 → EOF recovery."""
+    m = _hp.locatestarttagend_tolerant.match(html, i)
+    j = m.end()
+    nxt = html[j : j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/":
+        if html.startswith("/>", j):
+            endpos = j + 2
+        else:
+            return -1, None  # stdlib: buffer boundary → k<0 recovery
+    elif nxt == "":
+        return -1, None
+    elif nxt in _STARTTAG_CONT:
+        return -1, None  # end of input in/before attribute value
+    else:
+        endpos = j if j > i else i + 1  # bogus input
+    tm = _hp.tagfind_tolerant.match(html, i + 1)
+    tag = tm.group(1).lower()
+    k = tm.end()
+    attrs: list[tuple[str, str | None]] = []
+    want_attrs = tag == "img"  # attrs only materialized where consumed
+    if nxt == ">" and not html[k:j].strip():
+        # no-attr fast path (most tags): attrfind's lookbehind can never
+        # match right after the tag name, so the loop is a provable no-op
+        # and endstr is exactly '>'
+        machine.handle_starttag(tag, attrs)
+        return endpos, (tag if tag in _RAWTEXT_CLOSE else None)
+    while k < endpos:
+        am = _hp.attrfind_tolerant.match(html, k)
+        if not am:
+            break
+        if want_attrs:
+            name, rest, val = am.group(1, 2, 3)
+            if not rest:
+                val = None
+            elif val[:1] == "'" == val[-1:] or val[:1] == '"' == val[-1:]:
+                val = val[1:-1]
+            if val:
+                val = _unescape_entities(val)
+            attrs.append((name.lower(), val))
+        k = am.end()
+    endstr = html[k:endpos].strip()
+    if endstr not in (">", "/>"):
+        machine.handle_data(html[i:endpos])  # RAW: stdlib does not unescape here
+        return endpos, None
+    if endstr == "/>":
+        machine.handle_starttag(tag, attrs)  # handle_startendtag default
+        machine.handle_endtag(tag)
+        return endpos, None
+    machine.handle_starttag(tag, attrs)
+    return endpos, (tag if tag in _RAWTEXT_CLOSE else None)
+
+
+def _do_endtag(machine: _Extractor, html: str, i: int) -> int:
+    """parse_endtag (non-cdata), exactly. Returns next_pos; <0 → EOF
+    recovery."""
+    gtm = _hp.endendtag.search(html, i + 1)
+    if not gtm:
+        return -1
+    gtpos = gtm.end()
+    m = _hp.endtagfind.match(html, i)
+    if m:
+        machine.handle_endtag(m.group(1).lower())
+        return gtpos
+    nm = _hp.tagfind_tolerant.match(html, i + 2)
+    if nm:
+        # tolerant name: '</li attr>' fires endtag('li'), consumed
+        # through the first '>' after the name
+        machine.handle_endtag(nm.group(1).lower())
+        return html.find(">", nm.end()) + 1
+    if html[i : i + 3] == "</>":
+        return i + 3
+    p = html.find(">", i + 2)  # parse_bogus_comment (comment event unused)
+    return (p + 1) if p != -1 else -1
+
+
+def _do_declaration(html: str, i: int) -> int:
+    """parse_html_declaration for non-comment '<!' constructs.
+    Returns next_pos; <0 → EOF recovery. Unknown marked-section
+    keywords raise exactly like _markupbase (extract_html salvages)."""
+    if html[i : i + 3] == "<![":
+        nm = _DECLNAME.match(html, i + 3)
+        if not nm:
+            raise AssertionError(
+                "expected name token at %r" % html[i : i + 20]
+            )
+        if nm.end() == len(html):
+            return -1  # _scan_name: name runs to end of buffer
+        name = nm.group().strip().lower()
+        if name in ("temp", "cdata", "ignore", "include", "rcdata"):
+            cm = _MARKED_CLOSE.search(html, i + 3)
+        elif name in ("if", "else", "endif"):
+            cm = _MS_MARKED_CLOSE.search(html, i + 3)
+        else:
+            raise AssertionError(
+                "unknown status keyword %r in marked section" % html[i + 3 : nm.end()]
+            )
+        return cm.end() if cm else -1
+    if html[i : i + 9].lower() == "<!doctype":
+        p = html.find(">", i + 9)
+        return (p + 1) if p != -1 else -1
+    p = html.find(">", i + 2)  # parse_bogus_comment
+    return (p + 1) if p != -1 else -1
 
 
 def _fast_feed(machine: _Extractor, html: str) -> None:  # noqa: C901
     pos = 0
     n = len(html)
+    cdata_elem: str | None = None
     while pos < n:
+        if cdata_elem:
+            cm = _RAWTEXT_CLOSE[cdata_elem].search(html, pos)
+            if cm is None:
+                return  # stdlib: cdata content at EOF is DROPPED
+            if cm.start() > pos:
+                machine.handle_data(html[pos : cm.start()])  # raw in cdata
+            machine.handle_endtag(cdata_elem)
+            cdata_elem = None
+            pos = cm.end()
+            continue
         lt = html.find("<", pos)
         if lt < 0:
             _emit_data(machine, html[pos:])
@@ -197,74 +327,32 @@ def _fast_feed(machine: _Extractor, html: str) -> None:  # noqa: C901
             _emit_data(machine, html[pos:lt])
         pos = lt
         nxt = html[lt + 1 : lt + 2]
-        if nxt == "/":  # end tag (stdlib endtagfind semantics)
-            m = _hp.endtagfind.match(html, lt)
-            if m:
-                machine.handle_endtag(m.group(1).lower())
-                pos = m.end()
-            else:  # tolerant bogus end tag: skip to '>'
-                gt = html.find(">", lt)
-                if gt < 0:
-                    _emit_data(machine, html[lt:])
-                    return
-                pos = gt + 1
+        if nxt in _ASCII_LETTERS:  # starttagopen
+            k, cdata_elem = _do_starttag(machine, html, lt)
+            pos = _eof_recover(machine, html, lt) if k < 0 else k
+            continue
+        if nxt == "/":
+            k = _do_endtag(machine, html, lt)
+            pos = _eof_recover(machine, html, lt) if k < 0 else k
             continue
         if nxt == "!":
             if html.startswith("<!--", lt):
                 m = _COMMENT_CLOSE.search(html, lt + 4)
                 pos = m.end() if m else _eof_recover(machine, html, lt)
-            else:  # declaration / bogus comment: to first '>'
-                m = _DECL_CLOSE.search(html, lt + 2)
-                pos = m.end() if m else _eof_recover(machine, html, lt)
+            else:
+                k = _do_declaration(html, lt)
+                pos = _eof_recover(machine, html, lt) if k < 0 else k
             continue
         if nxt == "?":
             m = _hp.piclose.search(html, lt + 2)
             pos = m.end() if m else _eof_recover(machine, html, lt)
             continue
-        tm = _hp.tagfind_tolerant.match(html, lt + 1)
-        if not tm:  # bare '<' in text
-            _emit_data(machine, "<")
+        if lt + 1 < n:  # bare '<' in text
+            machine.handle_data("<")
             pos = lt + 1
-            continue
-        em = _hp.locatestarttagend_tolerant.match(html, lt)
-        end = em.end() if em else lt
-        if html.startswith(">", end):
-            end += 1
-            self_close = False
-        elif html.startswith("/>", end):
-            end += 2
-            self_close = True
-        else:  # unterminated start tag: stdlib emits it as data
-            _emit_data(machine, html[lt : lt + 1])
-            pos = lt + 1
-            continue
-        tag = tm.group(1).lower()
-        attrs = []
-        if tag == "img":  # attrs only materialized where consumed
-            k = tm.end()
-            while k < end - 1:
-                am = _hp.attrfind_tolerant.match(html, k)
-                if not am:
-                    break
-                name, rest = am.group(1).lower(), am.group(3)
-                if rest and rest[:1] in "'\"" and rest[-1:] == rest[:1]:
-                    rest = rest[1:-1]
-                attrs.append((name, _unescape_entities(rest) if rest and "&" in rest else rest))
-                k = am.end()
-        machine.handle_starttag(tag, attrs)
-        pos = end
-        if self_close:
-            machine.handle_endtag(tag)
-            continue
-        if tag in _RAWTEXT_CLOSE:  # script/style content is raw text (CDATA mode)
-            cm = _RAWTEXT_CLOSE[tag].search(html, pos)
-            if cm is None:
-                machine.handle_data(html[pos:])
-                return  # stdlib leaves the tag unclosed at EOF
-            machine.handle_data(html[pos : cm.start()])
-            gt = html.find(">", cm.start())
-            machine.handle_endtag(tag)
-            pos = (gt + 1) if gt >= 0 else n
+        else:
+            _emit_data(machine, html[lt:])  # final flush unescapes
+            return
 
 
 def extract_html(html: str, engine: str = "fast") -> list[HtmlBlock]:
