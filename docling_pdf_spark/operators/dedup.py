@@ -278,23 +278,33 @@ def simhash_near_dups(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     max_bucket: int = MAX_LSH_BUCKET,
+    n_chunks: int | None = None,
 ) -> DataFrame:
-    """Candidate pairs via equality on any 16-bit chunk of the
-    fingerprint (Manku et al.: hamming ≤ 3 ⇒ at least one of 4 chunks
-    identical), verified with bit_count(xor) ≤ max_hamming.
+    """Candidate pairs via equality on any bit-chunk of the fingerprint
+    (Manku et al. WWW'07), verified with bit_count(xor) ≤ max_hamming.
 
-    Chunk buckets above max_bucket are excluded (the 64-bit space has
-    only 65k values per chunk table, so at corpus scale every bucket is
-    b²-quadratic without the cap; dropped mass via bucket_cap_stats on
-    the melted (chunk_idx, chunk) table)."""
-    chunks = F.array(
-        *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * c)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias(f"c{c}")
-            for c in range(4)
-        ]
-    )
+    Pigeonhole guarantee: with n_chunks = max_hamming + 1 (the default),
+    ≤ max_hamming differing bits cannot touch every chunk, so every
+    true near-dup pair shares at least one chunk bucket — round 1 used
+    a fixed 4 chunks, which silently broke the guarantee for
+    max_hamming > 3. More chunks = shorter chunks = fuller buckets (the
+    recall/candidate-volume dial Manku's multi-table split turns).
+
+    Chunk buckets above max_bucket are excluded (a w-bit chunk space has
+    only 2^w values, so at corpus scale every bucket is b²-quadratic
+    without the cap; dropped mass via bucket_cap_stats on the melted
+    (chunk_idx, chunk) table)."""
+    b = n_chunks or min(max_hamming + 1, 16)
+    width = 64 // b
+    mask = (1 << width) - 1
+    last_width = 64 - width * (b - 1)
+    last_mask = -1 if last_width >= 64 else (1 << last_width) - 1  # -1 = all bits
+
+    def chunk(c: int):
+        m = last_mask if c == b - 1 else mask
+        return F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(m))
+
+    chunks = F.array(*[chunk(c).alias(f"c{c}") for c in range(b)])
     melted = fps.select(
         id_col, "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk")
     )

@@ -419,6 +419,30 @@ def test_lsh_mega_bucket_cap_bounds_pairs(spark):
     assert stats["pairs_avoided"] > 10_000
 
 
+def test_simhash_pigeonhole_guarantee(spark):
+    """A pair at hamming=8 with 2 differing bits in EVERY 16-bit chunk
+    defeats the fixed-4-chunk scheme (no shared chunk) but MUST be found
+    with n_chunks = max_hamming + 1 (pigeonhole: 8 errors cannot touch
+    all 9 chunks)."""
+    base = 0x0123456789ABCDEF
+    flip = 0
+    for bit in (0, 8, 16, 24, 32, 40, 48, 56):  # 2 per 16-bit chunk
+        flip |= 1 << bit
+    other = base ^ flip
+
+    def to_i64(x: int) -> int:
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    fps = spark.createDataFrame(
+        [(1, to_i64(base)), (2, to_i64(other))], ["doc_id", "simhash"]
+    )
+    old_scheme = simhash_near_dups(fps, max_hamming=8, n_chunks=4).collect()
+    assert old_scheme == []  # the round-1 fixed-4-chunk miss, demonstrated
+    found = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_near_dups(fps, max_hamming=8).collect()}
+    assert found == {(1, 2): 8}
+
+
 def test_simhash_chunk_cap(spark):
     from docling_pdf_spark.operators.dedup import (
         simhash_fingerprints,
