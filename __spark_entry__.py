@@ -230,8 +230,11 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(src), link)
+    # lexists, not exists: a dangling symlink from a prior run (testdata
+    # regenerated elsewhere) would make exists() False but symlink() raise
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(os.path.abspath(src), link)
 
     batch_schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(batch_schema).parquet(d)

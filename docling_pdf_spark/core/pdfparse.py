@@ -148,20 +148,37 @@ def _unescape_bytes(raw: bytes) -> bytes:
 
 _U_RE = re.compile(rb"/U\s*\(((?:\\.|[^\\()])*)\)")
 _PRODUCER_RE = re.compile(rb"/Producer\s*\(((?:\\.|[^\\()])*)\)")
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
 
 
 def encryption_flags(data: bytes) -> tuple[bool, bool]:
     """(encrypted, needs_password) — the reference's two distinct flags
     (docling-pdf pdf_extractor.py:591-612: is_encrypted vs needs_pass).
 
-    A standard-security PDF whose USER password is empty derives its /U
-    entry from the ISO 32000-1 §7.6.3.3 padding constant; a /U that
-    differs (or is absent) means a password is required to read."""
+    Detection is scoped to the TRAILER dictionary — a document whose
+    page text merely mentions '/Encrypt' must not be flagged (a
+    whole-stream scan false-flagged exactly that). The /U entry is then
+    read from the referenced Encrypt object (or the trailer itself for
+    an inline dict): a standard-security PDF whose USER password is
+    empty derives /U from the ISO 32000-1 §7.6.3.3 padding constant; a
+    /U that differs (or is absent) means a password is required."""
     from docling_pdf_spark.core.pdfgen import PDF_PAD
 
-    if b"/Encrypt" not in data:
+    trailer_at = data.rfind(b"trailer")
+    if trailer_at < 0:
+        return False, False  # no trailer → nothing can reference /Encrypt
+    trailer = data[trailer_at:]
+    if b"/Encrypt" not in trailer:
         return False, False
-    m = _U_RE.search(data)
+    ref = _ENCRYPT_REF_RE.search(trailer)
+    if ref:
+        obj = re.search(
+            rb"(?<![0-9])" + ref.group(1) + rb"\s+\d+\s+obj\b(.*?)endobj", data, re.S
+        )
+        scope = obj.group(1) if obj else b""
+    else:
+        scope = trailer  # inline encrypt dictionary
+    m = _U_RE.search(scope)
     needs = m is None or _unescape_bytes(m.group(1)) != PDF_PAD
     return True, needs
 
@@ -298,7 +315,9 @@ def parse_lenient(data: bytes) -> ParsedPdf:
         )
     if not any(p.boxes for p in pages):
         raise LenientParseError("no text operators found")
-    return ParsedPdf(rung=RUNG_LENIENT, pages=pages, encrypted=b"/Encrypt" in data)
+    return ParsedPdf(
+        rung=RUNG_LENIENT, pages=pages, encrypted=encryption_flags(data)[0]
+    )
 
 
 def parse_raw(data: bytes) -> ParsedPdf:

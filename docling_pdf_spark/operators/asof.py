@@ -37,13 +37,18 @@ def asof_join(
     Returns all left columns + `out_col` (default `value_col`)."""
     out_col = out_col or value_col
     lcols = left.columns
+    vtype = right.schema[value_col].dataType
+    # the carried payload is a STRUCT, not the bare value: last(...,
+    # ignorenulls) must skip left-side padding rows (null struct) but
+    # MUST NOT skip a matched right row whose value is genuinely NULL —
+    # ASOF semantics return that NULL, not a staler non-null value
     tagged_l = left.withColumn("_side", F.lit(1)).withColumn(
-        "_asof_v", F.lit(None).cast(right.schema[value_col].dataType)
+        "_asof_v",
+        F.lit(None).cast(f"struct<v:{vtype.simpleString()}>"),
     )
-    tagged_r = (
-        right.select(by, on, F.col(value_col).alias("_asof_v"))
-        .withColumn("_side", F.lit(0))
-    )
+    tagged_r = right.select(
+        by, on, F.struct(F.col(value_col).alias("v")).alias("_asof_v")
+    ).withColumn("_side", F.lit(0))
     # align columns for the union: left keeps its payload, right rows
     # carry null payload (they exist only to feed the window)
     pad_r = tagged_r
@@ -61,5 +66,5 @@ def asof_join(
     return (
         unioned.withColumn("_carry", F.last("_asof_v", ignorenulls=True).over(w))
         .where(F.col("_side") == 1)
-        .select(*lcols, F.col("_carry").alias(out_col))
+        .select(*lcols, F.col("_carry.v").alias(out_col))
     )

@@ -294,7 +294,17 @@ def simhash_near_dups(
     only 2^w values, so at corpus scale every bucket is b²-quadratic
     without the cap; dropped mass via bucket_cap_stats on the melted
     (chunk_idx, chunk) table)."""
-    b = n_chunks or min(max_hamming + 1, 16)
+    if n_chunks is None:
+        if max_hamming > 20:  # 64 bits / 21 chunks = 3-bit chunks, the floor
+            raise ValueError(
+                f"max_hamming={max_hamming}: the pigeonhole guarantee needs "
+                "max_hamming+1 chunks and 64-bit fingerprints support at "
+                "most 21; use longer fingerprints or pass n_chunks "
+                "explicitly to accept probabilistic recall"
+            )
+        b = max_hamming + 1
+    else:
+        b = n_chunks
     width = 64 // b
     mask = (1 << width) - 1
     last_width = 64 - width * (b - 1)

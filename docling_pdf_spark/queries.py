@@ -376,29 +376,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc shingle-set sizes are computed BEFORE the cap so Jaccard
     denominators stay exact."""
     from docling_pdf_spark.conf import MAX_LSH_BUCKET
+    from docling_pdf_spark.operators.dedup import shingles
+
+    # ONE shingling kernel for the whole repo (operators/dedup.shingles,
+    # word-5-gram xxhash64 with the token-array projection fix) — the
+    # query and the minhash operator can never drift apart
     docs = _t(spark, sf_dir, "documents")
-    # project the token array FIRST: if the split expression is inlined
-    # into the transform lambda, codegen re-evaluates it per element_at
-    # (5 per shingle × ~90 shingles/doc — measured 12× slower)
-    tokd = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-    toks = F.col("toks")
-    starts = F.when(
-        F.size(toks) >= 5, F.sequence(F.lit(1), F.size(toks) - 4)
-    ).otherwise(F.array().cast("array<int>"))
-    gram = lambda i: F.concat_ws(  # noqa: E731 — 1-based, 5 consecutive tokens
-        " ",
-        F.element_at(toks, i),
-        F.element_at(toks, i + 1),
-        F.element_at(toks, i + 2),
-        F.element_at(toks, i + 3),
-        F.element_at(toks, i + 4),
-    )
-    sh = tokd.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.transform(starts, lambda i: F.xxhash64(gram(i))))
-        ).alias("shingle"),
-    )
+    sh = shingles(docs)
     # canonical LSH pair generation: ONE shuffle groups shingles into
     # buckets (sorted doc lists); per-doc sizes and candidate pairs both
     # derive from the bucket table, so the expensive gram computation

@@ -134,12 +134,18 @@ class TableIO:
         if self.mode != "iceberg":
             return  # parquet fallback keeps everything; retention is external
         # cutoff must be RELATIVE to now (round-1 ADVICE: an epoch-based
-        # literal made expiry a permanent no-op — nothing is older than
-        # January 1970)
+        # literal made expiry a permanent no-op) AND a plain literal —
+        # Iceberg's CALL procedure resolver takes constant arguments,
+        # not expressions like current_timestamp() - INTERVAL
+        import datetime
+
+        cutoff = datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(
+            days=older_than_days
+        )
         self.spark.sql(
             f"CALL {self.catalog}.system.expire_snapshots("
             f"table => '{table}', "
-            f"older_than => current_timestamp() - INTERVAL {older_than_days} DAYS)"
+            f"older_than => TIMESTAMP '{cutoff.strftime('%Y-%m-%d %H:%M:%S')}')"
         )
 
     def _path(self, table: str) -> str:

@@ -381,6 +381,24 @@ def test_asof_join_semantics(spark):
     assert got[4] is None    # u3 has no right rows at all
 
 
+def test_asof_join_matched_null_value_is_null(spark):
+    """A matched right row whose value is NULL must yield NULL — not a
+    staler non-null value (DuckDB ASOF semantics; the naive
+    last(ignorenulls) over bare values gets this wrong)."""
+    import datetime as dt
+
+    from docling_pdf_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([(1, "u1", t(12))], ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame(
+        [("u1", t(5), 100.0), ("u1", t(10), None)], ["user_id", "ts", "pval"]
+    )
+    [row] = asof_join(left, right, on="ts", by="user_id",
+                      value_col="pval", out_col="v").collect()
+    assert row["v"] is None  # the ts=10 row IS the match; its NULL wins
+
+
 # ------------------------------------------------- mega-bucket caps
 
 

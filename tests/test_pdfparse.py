@@ -89,6 +89,17 @@ def test_needs_password_distinct_from_encrypted():
     assert p.encrypted and p.needs_password
 
 
+def test_encrypt_mention_in_content_is_not_flagged():
+    """A document whose TEXT merely mentions '/Encrypt' (or '/U (...)')
+    must not be flagged — detection is scoped to the trailer dict."""
+    from docling_pdf_spark.core.pdfparse import encryption_flags, parse_ladder
+
+    pdf = make_pdf([_page((72, 700, "the /Encrypt key and /U (values) explained"))])
+    assert encryption_flags(pdf) == (False, False)
+    p = parse_ladder(pdf)
+    assert not p.encrypted and not p.needs_password
+
+
 def test_producer_sniff():
     from docling_pdf_spark.core.pdfparse import parse_ladder, sniff_producer
 
