@@ -271,6 +271,16 @@ def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(docs, threshold=0.3)
 
 
+def _minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH pipeline with engine-portable hashing — the
+    variant the driver can check EXACTLY against DuckDB (the xxhash64
+    fast path above stays rows-only; same plan family)."""
+    from docling_pdf_spark.operators.dedup import minhash_lsh_dedup_portable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_dedup_portable(docs, threshold=0.3)
+
+
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_pdf_spark.operators.dedup import (
         simhash_fingerprints,
@@ -318,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the weaker rows-only check; full correctness is covered by tests/
     # (LSH recall, IVF recall, subset invariants)
     q["minhash_lsh_dedup"] = _minhash_lsh
+    q["minhash_lsh_portable"] = _minhash_lsh_portable
     q["simhash_near_dups"] = _simhash_near_dups
     q["ivf_ann_topk"] = _ivf_ann_topk
     q["embedding_near_dups_bucketed"] = _embedding_near_dups_bucketed
@@ -328,7 +339,10 @@ def oracle_sql() -> dict[str, str]:
     from docling_pdf_spark.queries import duckdb_oracles
 
     o = duckdb_oracles()
+    from docling_pdf_spark.operators.dedup import minhash_lsh_portable_oracle_sql
+
     o["extract_interleaved"] = SQL_EXTRACT_INTERLEAVED
     o["extract_page_stats"] = SQL_EXTRACT_PAGE_STATS
     o["streaming_windowed_counts"] = SQL_STREAMING_WINDOWED
+    o["minhash_lsh_portable"] = minhash_lsh_portable_oracle_sql(threshold=0.3)
     return o

@@ -164,6 +164,179 @@ def minhash_lsh_dedup(
     return pairs.where(F.col("est_jaccard") >= threshold)
 
 
+# ------------------------------------------- portable (oracle-checkable)
+# MinHash variant: xxhash64 has no DuckDB equivalent, so the fast path
+# above is only rows-only checkable. This variant derives every minhash
+# from ONE engine-portable base hash per shingle (low 60 bits of md5,
+# the same trick operators/winnow.py uses) via the textbook universal
+# affine family h_i(x) = (a_i·x + b_i) mod p over the Mersenne prime
+# 2^31−1 (Carter–Wegman) — every value fits in BIGINT on both engines
+# (a, x < 2^31 → a·x < 2^62), so DuckDB reproduces the signatures
+# bit-for-bit and the driver gets an exact oracle for the whole
+# LSH pipeline.
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def affine_params(num_hashes: int = 32) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the universal hash family — seeded,
+    no wall clock; the SQL oracle embeds the same constants."""
+    import random
+
+    rng = random.Random(20250816)
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_strings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, gram) — distinct word-5-gram STRINGS (the portable pipeline
+    hashes them with md5; same projection discipline as shingles())."""
+    tokd = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+    toks = F.col("toks")
+    starts = F.when(
+        F.size(toks) >= SHINGLE_WORDS,
+        F.sequence(F.lit(1), F.size(toks) - (SHINGLE_WORDS - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k) for k in range(SHINGLE_WORDS)]
+    )
+    return tokd.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.transform(starts, gram))).alias("gram"),
+    )
+
+
+def minhash_lsh_dedup_portable(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """MinHash-LSH with engine-portable hashing (see module comment):
+    same plan family as the fast path — one shuffle for the K-min
+    signatures (map-side combine), band buckets as collect_list with the
+    mega-bucket cap, JVM array pair expansion, exact signature compare
+    for the Jaccard estimate."""
+    rows = num_hashes // bands
+    base = (
+        F.conv(F.substring(F.md5(F.col("gram")), 18, 15), 16, 10).cast("long")
+        % MERSENNE31
+    )
+    params = affine_params(num_hashes)
+    sigs = shingle_strings(docs, id_col, text_col).groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * base + F.lit(b)) % MERSENNE31).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                *[F.col(f"mh_{bi * rows + r}").alias(f"v{r}") for r in range(rows)],
+            )
+            for bi in range(bands)
+        ]
+    )
+    melted = sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+        F.explode(band_structs).alias("bk"),
+    )
+    bucket = melted.groupBy("bk").agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    pairs = (
+        bucket.where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
+    sa = sigs.select(F.col(id_col).alias("doc_a"), sig_arr.alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), sig_arr.alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_portable_oracle_sql(
+    threshold: float = 0.5, num_hashes: int = 32, bands: int = 8
+) -> str:
+    """The DuckDB oracle for minhash_lsh_dedup_portable — generated so
+    the affine constants are shared with the Spark plan by construction."""
+    rows = num_hashes // bands
+    params = affine_params(num_hashes)
+    m = MERSENNE31
+    mins = ",\n         ".join(
+        f"min(({a} * h + {b}) % {m}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {vs} FROM sig".format(
+            b=bi,
+            vs=", ".join(f"m{bi * rows + r} AS v{r}" for r in range(rows)),
+        )
+        for bi in range(bands)
+    )
+    veq = " AND ".join(f"a.v{r} = b.v{r}" for r in range(rows))
+    matches = " + ".join(f"CAST(sa.m{i} = sb.m{i} AS INT)" for i in range(num_hashes))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         ws[gs] || ' ' || ws[gs+1] || ' ' || ws[gs+2] || ' ' || ws[gs+3] || ' ' || ws[gs+4] AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS gs) u
+), hashes AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 18, 15)) AS BIGINT) % {m} AS h
+  FROM grams
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashes GROUP BY doc_id
+), melted AS (
+{band_rows}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM melted a JOIN melted b
+    ON a.band = b.band AND {veq} AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(({matches}) / {float(num_hashes)}, 4) AS est_jaccard
+FROM pairs
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE round(({matches}) / {float(num_hashes)}, 4) >= {threshold}
+"""
+
+
 # ------------------------------------------------------- embedding cosine
 
 
