@@ -1,0 +1,153 @@
+"""spark-submit entrypoint for the training-data CURATION pipeline —
+the 100 TB use case the operators exist for, chained end to end:
+
+    extract (interleaved docs → span table, mapInArrow)
+      → quality gates   (JVM expressions: length / token / digit ratio)
+      → exact dedup     (keep lowest doc_id per md5(full_text))
+      → near-dup drop   (MinHash-LSH pairs; drop the higher doc_id of
+                         every pair above the Jaccard-estimate cutoff)
+      → curated parquet + ONE JSON line of funnel counts
+
+Every stage is one of the tested library operators; this job is the
+composition, not new logic. Scale notes: the only Python stage is the
+extraction UDF; quality gates are codegen filters; both dedups shuffle
+once on their key (hash / band bucket with the mega-bucket cap); the
+near-dup drop side is a broadcast-able distinct-id list at realistic
+dup rates (explicitly broadcast here).
+
+    spark-submit --py-files dist/docling_pdf_spark.zip jobs/curate.py \
+        --input <documents parquet> --output <curated path> \
+        [--min-chars 80] [--max-digit-ratio 0.3] [--jaccard 0.8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def curate(
+    spark,
+    input_path: str,
+    output_path: str,
+    min_chars: int = 80,
+    min_tokens: int = 10,
+    max_digit_ratio: float = 0.3,
+    jaccard: float = 0.8,
+    num_partitions: int | None = None,
+):
+    """documents → curated extracted corpus; returns the funnel dict."""
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.functions.text import digit_ratio, token_count
+    from docling_pdf_spark.operators.dedup import minhash_lsh_dedup
+    from docling_pdf_spark.pipeline import extract
+
+    docs = spark.read.parquet(input_path)
+    n_input = docs.count()
+
+    extracted = extract(docs, num_partitions=num_partitions)
+    # full_text for the text operators: re-join the text spans (JVM)
+    with_text = extracted.withColumn(
+        "full_text",
+        F.array_join(
+            F.transform(
+                F.filter(F.coalesce(F.col("spans"), F.array()),
+                         lambda s: s["kind"] == "text"),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ),
+    )
+    ok = with_text.where(F.col("extraction_successful"))
+    # quality gates — pure codegen predicates on the extracted text
+    quality = ok.where(
+        (F.col("n_chars") >= min_chars)
+        & (token_count("full_text") >= min_tokens)
+        & (digit_ratio("full_text") <= max_digit_ratio)
+    )
+    quality = quality.persist()
+    n_quality = quality.count()
+
+    # exact dedup: keep the lexicographically-first doc_id per text hash
+    keeper = (
+        quality.groupBy(F.md5("full_text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact = quality.join(F.broadcast(keeper), "doc_id")
+    n_exact = exact.count()
+
+    # near-dup drop: for every LSH pair above the cutoff, drop doc_b
+    # (deterministic: pairs are emitted with doc_a < doc_b)
+    pairs = minhash_lsh_dedup(
+        exact.select("doc_id", F.col("full_text").alias("text")),
+        threshold=jaccard,
+    )
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    curated = exact.join(F.broadcast(drop), "doc_id", "left_anti").drop("full_text")
+    curated.write.mode("overwrite").parquet(output_path)
+    quality.unpersist()
+
+    n_curated = spark.read.parquet(output_path).count()
+    return {
+        "n_input": n_input,
+        "n_extracted_ok": ok.count(),
+        "n_quality": n_quality,
+        "n_after_exact_dedup": n_exact,
+        "n_curated": n_curated,
+        "dropped_quality": n_input - n_quality,
+        "dropped_exact_dups": n_quality - n_exact,
+        "dropped_near_dups": n_exact - n_curated,
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-chars", type=int, default=80)
+    ap.add_argument("--min-tokens", type=int, default=10)
+    ap.add_argument("--max-digit-ratio", type=float, default=0.3)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--num-partitions", type=int, default=None)
+    ap.add_argument("--local-cores", type=int, default=None)
+    ap.add_argument("--gen-docs", type=int, default=None,
+                    help="synthesize a deterministic corpus at --input first")
+    args = ap.parse_args(argv)
+
+    from docling_pdf_spark.fixtures import write_corpus
+    from docling_pdf_spark.session import get_spark
+
+    if args.gen_docs:
+        os.makedirs(os.path.dirname(args.input) or ".", exist_ok=True)
+        write_corpus(args.input, args.gen_docs)
+
+    spark = get_spark("curate", local_cores=args.local_cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.perf_counter()
+    funnel = curate(
+        spark,
+        args.input,
+        args.output,
+        min_chars=args.min_chars,
+        min_tokens=args.min_tokens,
+        max_digit_ratio=args.max_digit_ratio,
+        jaccard=args.jaccard,
+        num_partitions=args.num_partitions,
+    )
+    funnel["elapsed_sec"] = round(time.perf_counter() - t0, 3)
+    funnel["status"] = "done"
+    funnel["output"] = args.output
+    print(json.dumps(funnel))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
