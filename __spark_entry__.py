@@ -247,7 +247,11 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # bounded wait: a wedged stream must fail THIS entry, not stall the
+    # driver's whole correctness sweep
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_windowed_counts did not drain in 300s")
     return spark.table(name).select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",

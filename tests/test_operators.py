@@ -287,6 +287,29 @@ def test_embedding_near_dups_bucketed_planted_recall(spark):
     assert len(bucketed) / len(exact) >= 0.8  # measured 1.0
 
 
+# ------------------------------------------------- approx sketches
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """HLL sketch coverage: approx_count_distinct per group lands within
+    its documented relative error of the exact count (rsd=0.05 → assert
+    a loose 3σ bound). Sketches cannot be value-oracled against DuckDB
+    (different HLL implementations), hence pytest-tolerance instead of a
+    driver hash row."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(3, 0.15 * r["exact"]), r
+
+
 # -------------------------------------------------------- winnowing
 
 
