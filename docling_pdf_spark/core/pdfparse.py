@@ -148,36 +148,47 @@ def _unescape_bytes(raw: bytes) -> bytes:
 
 _U_RE = re.compile(rb"/U\s*\(((?:\\.|[^\\()])*)\)")
 _PRODUCER_RE = re.compile(rb"/Producer\s*\(((?:\\.|[^\\()])*)\)")
-_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
 
 
 def encryption_flags(data: bytes) -> tuple[bool, bool]:
     """(encrypted, needs_password) — the reference's two distinct flags
     (docling-pdf pdf_extractor.py:591-612: is_encrypted vs needs_pass).
 
-    Detection is scoped to the TRAILER dictionary — a document whose
-    page text merely mentions '/Encrypt' must not be flagged (a
-    whole-stream scan false-flagged exactly that). The /U entry is then
-    read from the referenced Encrypt object (or the trailer itself for
-    an inline dict): a standard-security PDF whose USER password is
-    empty derives /U from the ISO 32000-1 §7.6.3.3 padding constant; a
-    /U that differs (or is absent) means a password is required."""
+    Detection is scoped: the /Encrypt entry must sit in the TRAILER
+    dictionary, or — for PDF 1.5+ cross-reference-stream files and
+    trailer-truncated damage, which have no 'trailer' keyword — appear
+    as a full `/Encrypt N G R` reference (the bare token in page text
+    never has the indirect-reference syntax, so the round-1
+    whole-stream false positive stays fixed). The /U entry is then read
+    from the LAST `N G obj` match (incremental updates append; content
+    bytes that fake the header earlier in the file cannot shadow it):
+    a standard-security PDF whose USER password is empty derives /U
+    from the ISO 32000-1 §7.6.3.3 padding constant; a /U that differs
+    (or is absent) means a password is required."""
     from docling_pdf_spark.core.pdfgen import PDF_PAD
 
     trailer_at = data.rfind(b"trailer")
-    if trailer_at < 0:
-        return False, False  # no trailer → nothing can reference /Encrypt
-    trailer = data[trailer_at:]
-    if b"/Encrypt" not in trailer:
-        return False, False
-    ref = _ENCRYPT_REF_RE.search(trailer)
-    if ref:
-        obj = re.search(
-            rb"(?<![0-9])" + ref.group(1) + rb"\s+\d+\s+obj\b(.*?)endobj", data, re.S
-        )
-        scope = obj.group(1) if obj else b""
+    if trailer_at >= 0:
+        scope_for_ref = data[trailer_at:]
+        if b"/Encrypt" not in scope_for_ref:
+            return False, False
     else:
-        scope = trailer  # inline encrypt dictionary
+        scope_for_ref = data  # xref-stream PDF: no trailer keyword
+    ref = _ENCRYPT_REF_RE.search(scope_for_ref)
+    if ref is None:
+        if trailer_at < 0:
+            return False, False  # bare '/Encrypt' tokens don't count here
+        scope = scope_for_ref  # inline encrypt dictionary in the trailer
+    else:
+        obj_re = re.compile(
+            rb"(?<![0-9])" + ref.group(1) + rb"\s+" + ref.group(2) + rb"\s+obj\b(.*?)endobj",
+            re.S,
+        )
+        last = None
+        for m_obj in obj_re.finditer(data):
+            last = m_obj
+        scope = last.group(1) if last else b""
     m = _U_RE.search(scope)
     needs = m is None or _unescape_bytes(m.group(1)) != PDF_PAD
     return True, needs

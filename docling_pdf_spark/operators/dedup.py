@@ -60,8 +60,10 @@ def bucket_cap_stats(
     )
 
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingle_hash) — distinct word-5-gram xxhash64 shingles.
+def _gram_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, grams array<string>) — THE one word-5-gram kernel every
+    shingling consumer derives from (hash-distinct and string-distinct
+    variants below must never drift apart).
 
     The token array is projected as its own column before the gram
     transform: inlining the split into the lambda makes codegen
@@ -76,10 +78,17 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + k) for k in range(SHINGLE_WORDS)]
     )
-    return tokd.select(
+    return tokd.select(F.col(id_col), F.transform(starts, gram).alias("grams"))
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle_hash) — DISTINCT-BY-HASH word-5-gram xxhash64
+    shingles (distinct applies to the hashes, matching the ngram
+    oracle's `SELECT DISTINCT doc_id, hash(gram)`)."""
+    return _gram_arrays(docs, id_col, text_col).select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(F.transform(starts, lambda i: F.xxhash64(gram(i))))
+            F.array_distinct(F.transform(F.col("grams"), lambda g: F.xxhash64(g)))
         ).alias("shingle"),
     )
 
@@ -194,19 +203,11 @@ def shingle_strings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, gram) — distinct word-5-gram STRINGS (the portable pipeline
-    hashes them with md5; same projection discipline as shingles())."""
-    tokd = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
-    toks = F.col("toks")
-    starts = F.when(
-        F.size(toks) >= SHINGLE_WORDS,
-        F.sequence(F.lit(1), F.size(toks) - (SHINGLE_WORDS - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + k) for k in range(SHINGLE_WORDS)]
-    )
-    return tokd.select(
+    hashes them with md5); derives from the same _gram_arrays kernel as
+    shingles()."""
+    return _gram_arrays(docs, id_col, text_col).select(
         F.col(id_col),
-        F.explode(F.array_distinct(F.transform(starts, gram))).alias("gram"),
+        F.explode(F.array_distinct(F.col("grams"))).alias("gram"),
     )
 
 
@@ -287,10 +288,15 @@ def minhash_lsh_dedup_portable(
 
 
 def minhash_lsh_portable_oracle_sql(
-    threshold: float = 0.5, num_hashes: int = 32, bands: int = 8
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = MAX_LSH_BUCKET,
 ) -> str:
     """The DuckDB oracle for minhash_lsh_dedup_portable — generated so
-    the affine constants are shared with the Spark plan by construction."""
+    the affine constants AND the mega-bucket cap are shared with the
+    Spark plan by construction (an uncapped oracle would diverge on any
+    corpus where a band bucket exceeds the cap)."""
     rows = num_hashes // bands
     params = affine_params(num_hashes)
     m = MERSENNE31
@@ -323,9 +329,12 @@ WITH toks AS (
   FROM hashes GROUP BY doc_id
 ), melted AS (
 {band_rows}
+), capped AS (
+  SELECT * FROM melted
+  QUALIFY count(*) OVER (PARTITION BY band, {", ".join(f"v{r}" for r in range(rows))}) <= {max_bucket}
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM melted a JOIN melted b
+  FROM capped a JOIN capped b
     ON a.band = b.band AND {veq} AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -477,6 +486,8 @@ def simhash_near_dups(
             )
         b = max_hamming + 1
     else:
+        if n_chunks < 1:
+            raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
         b = n_chunks
     width = 64 // b
     mask = (1 << width) - 1

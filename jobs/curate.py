@@ -64,23 +64,29 @@ def curate(
             "\n",
         ),
     )
-    ok = with_text.where(F.col("extraction_successful"))
+    # persist at the extraction boundary: every downstream count and the
+    # final write reuse ONE pass of the (dominant-cost) Python UDF stage
+    ok = with_text.where(F.col("extraction_successful")).persist()
+    n_ok = ok.count()
     # quality gates — pure codegen predicates on the extracted text
     quality = ok.where(
         (F.col("n_chars") >= min_chars)
         & (token_count("full_text") >= min_tokens)
         & (digit_ratio("full_text") <= max_digit_ratio)
     )
-    quality = quality.persist()
     n_quality = quality.count()
 
     # exact dedup: keep the lexicographically-first doc_id per text hash
-    keeper = (
-        quality.groupBy(F.md5("full_text").alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # — one shuffle on the hash (a broadcast keeper list would be
+    # corpus-sized at realistic dup rates and OOM at 100 TB)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("full_text")).orderBy("doc_id")
+    exact = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    exact = quality.join(F.broadcast(keeper), "doc_id")
     n_exact = exact.count()
 
     # near-dup drop: for every LSH pair above the cutoff, drop doc_b
@@ -90,18 +96,22 @@ def curate(
         threshold=jaccard,
     )
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # the near-dup drop list IS small (only pair members), broadcast-safe
     curated = exact.join(F.broadcast(drop), "doc_id", "left_anti").drop("full_text")
     curated.write.mode("overwrite").parquet(output_path)
-    quality.unpersist()
+    ok.unpersist()
 
     n_curated = spark.read.parquet(output_path).count()
     return {
         "n_input": n_input,
-        "n_extracted_ok": ok.count(),
+        "n_extracted_ok": n_ok,
         "n_quality": n_quality,
         "n_after_exact_dedup": n_exact,
         "n_curated": n_curated,
-        "dropped_quality": n_input - n_quality,
+        # each funnel stage accounts only for ITS drops, so the numbers
+        # always sum: input = failed + quality-drops + exact + near + kept
+        "dropped_extraction_failed": n_input - n_ok,
+        "dropped_quality": n_ok - n_quality,
         "dropped_exact_dups": n_quality - n_exact,
         "dropped_near_dups": n_exact - n_curated,
     }
