@@ -939,6 +939,30 @@ SELECT DISTINCT doc_id, unnest(wins) AS fingerprint FROM w
 """
 
 
+def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-function coverage: extract a typed field from the events
+    `props` JSON payload (get_json_object — JVM-side JSON path, no UDF)
+    and aggregate it per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+SQL_JSON_PROPS_ROLLUP = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(props->>'k' AS BIGINT)) AS max_k,
+       count(CAST(props->>'k' AS BIGINT)) AS n_with_k
+FROM events GROUP BY event_type
+"""
+
+
 # =====================================================================
 # Catalog
 # =====================================================================
@@ -976,6 +1000,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
+    "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
 }
 
 
