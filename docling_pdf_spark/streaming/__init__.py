@@ -9,6 +9,10 @@ unchanged, and event tables get watermarked tumbling-window aggregates.
 
 from docling_pdf_spark.streaming.jobs import (  # noqa: F401
     extract_stream,
+    extract_stream_exactly_once,
     windowed_event_counts,
 )
-from docling_pdf_spark.streaming.stateful import streaming_dedup  # noqa: F401
+from docling_pdf_spark.streaming.stateful import (  # noqa: F401
+    sessionize_stream,
+    streaming_dedup,
+)

@@ -37,6 +37,75 @@ def extract_stream(
     return writer.start()
 
 
+def extract_stream_exactly_once(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    stream_checkpoint: str,
+    manifest_dir: str,
+    n_buckets: int = 8,
+) -> StreamingQuery:
+    """The canonical production streaming sink: foreachBatch with an
+    IDEMPOTENT write plus an atomic manifest commit per micro-batch.
+
+    Structured Streaming's checkpoint gives at-least-once delivery to
+    foreachBatch (a batch can replay after a crash); exactly-once
+    output follows because the write is idempotent: every row lands in
+    a partition keyed by (ingest_batch, bucket) and the replay's
+    dynamic partition overwrite replaces exactly those directories.
+    The per-batch manifest (checkpoint.ProgressLog, keyed by batch id)
+    carries counts + lineage for ops — the streaming analog of
+    run_extraction's per-bucket manifests."""
+    from docling_pdf_spark.checkpoint import BucketManifest, ProgressLog
+    from docling_pdf_spark.sources.io import file_fingerprint
+
+    log = ProgressLog(manifest_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out = (
+            extract(batch_df)
+            .withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)))
+            .withColumn("ingest_batch", F.lit(int(batch_id)))
+        )
+        out.write.partitionBy("ingest_batch", "bucket").mode("overwrite").parquet(
+            output_path
+        )
+        # metrics from the COMMITTED slice (validates the write, like
+        # run_extraction) — scoped scan via partition pruning
+        written = sess.read.parquet(output_path).where(
+            F.col("ingest_batch") == int(batch_id)
+        )
+        row = written.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("extraction_successful").cast("long")).alias("ok"),
+        ).collect()[0]
+        log.commit(
+            BucketManifest(
+                partition_id=int(batch_id),
+                status="done",
+                n_docs=int(row["n"]),
+                n_ok=int(row["ok"] or 0),
+                n_failed=int(row["n"]) - int(row["ok"] or 0),
+                lineage={
+                    "partition_key": f"ingest_batch={batch_id}",
+                    "input_snapshot": file_fingerprint(input_dir),
+                },
+            )
+        )
+
+    docs = spark.readStream.schema(DOCUMENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(input_dir)
+    return (
+        docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", stream_checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling 1h event-type counts with late-data watermark —
     streaming-safe aggregation (works identically on a batch DF)."""

@@ -257,3 +257,33 @@ def _stage_events_dir(tmp_path):
     if not link.exists():
         os.symlink("/root/testdata/sf0.001/events.parquet", str(link))
     return d
+
+
+def test_foreachbatch_exactly_once_with_manifests(spark, stream_corpus, tmp_path):
+    """foreachBatch sink: idempotent (ingest_batch, bucket) writes +
+    one atomic manifest per micro-batch; a re-run over the same stream
+    checkpoint is a no-op (no duplicate rows, manifests unchanged)."""
+    from docling_pdf_spark.checkpoint import ProgressLog
+    from docling_pdf_spark.streaming import extract_stream_exactly_once
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "stream-ckpt")
+    mans = str(tmp_path / "manifests")
+
+    q = extract_stream_exactly_once(spark, stream_corpus, out, ckpt, mans)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 60
+    assert got.select("doc_id").distinct().count() == 60
+    manifests = ProgressLog(mans).all_manifests()
+    assert len(manifests) == 2  # maxFilesPerTrigger=1 → one per file
+    assert all(m.status == "done" for m in manifests)
+    assert sum(m.n_docs for m in manifests) == 60
+    assert all(m.lineage["partition_key"].startswith("ingest_batch=") for m in manifests)
+
+    # re-run: the stream checkpoint remembers processed files → no-op
+    q2 = extract_stream_exactly_once(spark, stream_corpus, out, ckpt, mans)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).count() == 60
+    assert len(ProgressLog(mans).all_manifests()) == 2
