@@ -422,6 +422,53 @@ def test_asof_join_matched_null_value_is_null(spark):
     assert row["v"] is None  # the ts=10 row IS the match; its NULL wins
 
 
+def test_asof_join_matches_pandas_merge_asof_randomized(spark):
+    """Property check against an independent reference implementation:
+    asof_join == pandas.merge_asof(direction='backward',
+    allow_exact_matches=True) on seeded random inputs (ties excluded by
+    construction: right side unique per (key, ts) as documented)."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from docling_pdf_spark.operators.asof import asof_join
+
+    rng = random.Random(99)
+    base = dt.datetime(2026, 1, 1)
+    for trial in range(4):
+        users = [f"u{i}" for i in range(rng.randint(2, 6))]
+        left_rows = [
+            (i, rng.choice(users), base + dt.timedelta(seconds=rng.randint(0, 500)))
+            for i in range(rng.randint(5, 40))
+        ]
+        right_set = set()
+        right_rows = []
+        for _ in range(rng.randint(3, 30)):
+            k = (rng.choice(users), base + dt.timedelta(seconds=rng.randint(0, 500)))
+            if k in right_set:
+                continue  # unique per (key, ts) precondition
+            right_set.add(k)
+            right_rows.append((*k, round(rng.uniform(0, 100), 3)))
+
+        got = {
+            r["event_id"]: r["v"]
+            for r in asof_join(
+                spark.createDataFrame(left_rows, ["event_id", "user_id", "ts"]),
+                spark.createDataFrame(right_rows, ["user_id", "ts", "pval"]),
+                on="ts", by="user_id", value_col="pval", out_col="v",
+            ).collect()
+        }
+
+        lp = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts"]).sort_values("ts")
+        rp = pd.DataFrame(right_rows, columns=["user_id", "ts", "pval"]).sort_values("ts")
+        ref = pd.merge_asof(lp, rp, on="ts", by="user_id",
+                            direction="backward", allow_exact_matches=True)
+        for row in ref.itertuples(index=False):
+            want = None if pd.isna(row.pval) else row.pval
+            assert got[row.event_id] == want, (trial, row)
+
+
 # ------------------------------------------------- mega-bucket caps
 
 
