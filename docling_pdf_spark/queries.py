@@ -963,6 +963,38 @@ FROM events GROUP BY event_type
 """
 
 
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the reproducible-split
+    idiom every training-data pipeline needs: bucket = portable hash of
+    the doc id mod 100 (md5-low-60, identical in DuckDB), split by
+    fixed bucket ranges (80/10/10). No randomness, no state: the same
+    doc lands in the same split on any engine, any run, any subset."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 18, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("split_bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+SQL_DETERMINISTIC_SPLIT = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS BIGINT) % 100
+         AS split_bucket,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 # =====================================================================
 # Catalog
 # =====================================================================
@@ -1001,6 +1033,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
+    "deterministic_split": (q_deterministic_split, SQL_DETERMINISTIC_SPLIT),
 }
 
 
