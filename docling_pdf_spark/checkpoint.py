@@ -39,12 +39,17 @@ class BucketManifest:
 
 
 class ProgressLog:
-    def __init__(self, checkpoint_dir: str) -> None:
+    def __init__(self, checkpoint_dir: str, key: str = "bucket") -> None:
+        """`key` names the partition-id domain (default 'bucket' for the
+        batch job; the streaming sink uses 'ingest_batch') — manifests
+        from different domains can never masquerade as each other even
+        if a caller points two jobs at one directory."""
         self.dir = checkpoint_dir
+        self.key = key
         os.makedirs(checkpoint_dir, exist_ok=True)
 
     def _path(self, bucket: int) -> str:
-        return os.path.join(self.dir, f"bucket={bucket}", "manifest.json")
+        return os.path.join(self.dir, f"{self.key}={bucket}", "manifest.json")
 
     def done_buckets(self) -> set[int]:
         done: set[int] = set()
@@ -59,7 +64,7 @@ class ProgressLog:
             return out
         for name in sorted(os.listdir(self.dir)):
             p = os.path.join(self.dir, name, "manifest.json")
-            if name.startswith("bucket=") and os.path.isfile(p):
+            if name.startswith(f"{self.key}=") and os.path.isfile(p):
                 with open(p, encoding="utf-8") as f:
                     out.append(BucketManifest(**json.load(f)))
         return out

@@ -187,6 +187,12 @@ def minhash_lsh_dedup(
 MERSENNE31 = (1 << 31) - 1
 
 
+def _hash_sql(expr: str) -> str:
+    from docling_pdf_spark.functions.hashing import PORTABLE_HASH60_SQL
+
+    return PORTABLE_HASH60_SQL.format(x=expr)
+
+
 def affine_params(num_hashes: int = 32) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) for the universal hash family — seeded,
     no wall clock; the SQL oracle embeds the same constants."""
@@ -225,11 +231,10 @@ def minhash_lsh_dedup_portable(
     signatures (map-side combine), band buckets as collect_list with the
     mega-bucket cap, JVM array pair expansion, exact signature compare
     for the Jaccard estimate."""
+    from docling_pdf_spark.functions.hashing import portable_hash60
+
     rows = num_hashes // bands
-    base = (
-        F.conv(F.substring(F.md5(F.col("gram")), 18, 15), 16, 10).cast("long")
-        % MERSENNE31
-    )
+    base = portable_hash60(F.col("gram")) % MERSENNE31
     params = affine_params(num_hashes)
     sigs = shingle_strings(docs, id_col, text_col).groupBy(id_col).agg(
         *[
@@ -321,7 +326,7 @@ WITH toks AS (
   FROM toks, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS gs) u
 ), hashes AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(g), 18, 15)) AS BIGINT) % {m} AS h
+         {_hash_sql("g")} % {m} AS h
   FROM grams
 ), sig AS (
   SELECT doc_id,

@@ -34,14 +34,11 @@ WINNOW_K = 8  # k-gram length (chars)
 WINNOW_W = 4  # window length (hashes)
 
 
-def _gram_hash_portable(gram):
-    """Low 60 bits of md5 as a BIGINT — engine-portable (DuckDB:
-    CAST('0x' || substr(md5(s), 18, 15) AS BIGINT)); ~35% slower than
-    xxhash64 end-to-end (measured sf0.1)."""
-    return F.conv(F.substring(F.md5(gram), 18, 15), 16, 10).cast("long")
+from docling_pdf_spark.functions.hashing import portable_hash60
 
-
-_HASHES = {"portable": _gram_hash_portable, "fast": F.xxhash64}
+# 'portable' (functions.hashing.portable_hash60, DuckDB-reproducible) is
+# ~35% slower end-to-end than xxhash64 (measured sf0.1)
+_HASHES = {"portable": portable_hash60, "fast": F.xxhash64}
 
 
 def winnow_fingerprints(

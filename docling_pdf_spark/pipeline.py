@@ -226,12 +226,11 @@ def run_extraction(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
         )
         # dynamic partition overwrite → only this group's bucket dirs
-        # replaced. Resume SAFETY depends on this conf: with the default
-        # 'static' mode, mode('overwrite') truncates the WHOLE output
-        # path, silently deleting buckets whose manifests say done
-        # (round-1 ADVICE) — so set it here, not only in session.get_spark
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        out.write.partitionBy("bucket").mode("overwrite").parquet(output_path)
+        # replaced (the shared overwrite-safe write pins the conf — a
+        # default 'static' session would truncate the whole output path)
+        from docling_pdf_spark.sources.io import idempotent_partition_overwrite
+
+        idempotent_partition_overwrite(out, ["bucket"], output_path)
 
         # metrics from the committed output (no recompute of the UDF stage)
         stats = (

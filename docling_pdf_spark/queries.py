@@ -36,6 +36,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from docling_pdf_spark.functions.hashing import PORTABLE_HASH60_SQL
 from docling_pdf_spark.functions.text import (
     BPE_PRETOKEN_PATTERN,
     bpe_token_count,
@@ -923,10 +924,10 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
-SQL_WINNOW_FINGERPRINTS = """
+SQL_WINNOW_FINGERPRINTS = f"""
 WITH g AS (
   SELECT doc_id,
-         [CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 18, 15)) AS BIGINT)
+         [{PORTABLE_HASH60_SQL.format(x="substr(text, CAST(i AS INT), 8)")}
           FOR i IN range(1, length(text) - 8 + 2)] AS hs
   FROM documents WHERE length(text) >= 8
 ), w AS (
@@ -956,9 +957,9 @@ def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JSON_PROPS_ROLLUP = """
 SELECT event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-       max(CAST(props->>'k' AS BIGINT)) AS max_k,
-       count(CAST(props->>'k' AS BIGINT)) AS n_with_k
+       CAST(sum(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       max(TRY_CAST(props->>'k' AS BIGINT)) AS max_k,
+       count(TRY_CAST(props->>'k' AS BIGINT)) AS n_with_k
 FROM events GROUP BY event_type
 """
 
@@ -969,11 +970,10 @@ def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc id mod 100 (md5-low-60, identical in DuckDB), split by
     fixed bucket ranges (80/10/10). No randomness, no state: the same
     doc lands in the same split on any engine, any run, any subset."""
+    from docling_pdf_spark.functions.hashing import portable_hash60
+
     docs = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 18, 15), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = portable_hash60(F.col("doc_id").cast("string")) % 100
     return docs.select(
         "doc_id",
         bucket.alias("split_bucket"),
@@ -984,12 +984,12 @@ def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DETERMINISTIC_SPLIT = """
+_SPLIT_H = PORTABLE_HASH60_SQL.format(x="CAST(doc_id AS VARCHAR)")
+SQL_DETERMINISTIC_SPLIT = f"""
 SELECT doc_id,
-       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS BIGINT) % 100
-         AS split_bucket,
-       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS BIGINT) % 100 < 80 THEN 'train'
-            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15)) AS BIGINT) % 100 < 90 THEN 'val'
+       {_SPLIT_H} % 100 AS split_bucket,
+       CASE WHEN {_SPLIT_H} % 100 < 80 THEN 'train'
+            WHEN {_SPLIT_H} % 100 < 90 THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """

@@ -49,6 +49,18 @@ def file_fingerprint(path: str) -> str:
     return h.hexdigest()[:16]
 
 
+def idempotent_partition_overwrite(
+    df: "DataFrame", partition_cols: list[str], path: str
+) -> None:
+    """THE overwrite-safe write both the batch job and the streaming
+    foreachBatch sink use: pins partitionOverwriteMode=dynamic on the
+    df's own session (a default 'static' session would truncate the
+    whole output path and delete committed partitions — round-1
+    ADVICE), then replaces exactly the partitions present in df."""
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+
+
 class TableIO:
     def __init__(
         self,

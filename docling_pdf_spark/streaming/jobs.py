@@ -56,31 +56,52 @@ def extract_stream_exactly_once(
     The per-batch manifest (checkpoint.ProgressLog, keyed by batch id)
     carries counts + lineage for ops — the streaming analog of
     run_extraction's per-bucket manifests."""
-    from docling_pdf_spark.checkpoint import BucketManifest, ProgressLog
-    from docling_pdf_spark.sources.io import file_fingerprint
+    import hashlib
 
-    log = ProgressLog(manifest_dir)
+    from docling_pdf_spark.checkpoint import BucketManifest, ProgressLog
+    from docling_pdf_spark.sources.io import idempotent_partition_overwrite
+
+    # manifests live under ingest_batch=<id>/ (NOT bucket=<id>/), so a
+    # misconfigured shared directory with the batch job's per-bucket
+    # manifests can never cross-contaminate resume decisions
+    log = ProgressLog(manifest_dir, key="ingest_batch")
+    # replay-idempotence depends on the bucket layout being STABLE
+    # across restarts: a replayed batch with a different n_buckets would
+    # overwrite only the new bucket dirs and leave stale ones behind
+    for m in log.all_manifests():
+        prev = m.lineage.get("n_buckets")
+        if prev is not None and prev != str(n_buckets):
+            raise RuntimeError(
+                f"stream was previously run with n_buckets={prev}; "
+                f"restarting with {n_buckets} breaks replay idempotence — "
+                "keep it constant or start a fresh output/manifest dir"
+            )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         out = (
             extract(batch_df)
             .withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)))
             .withColumn("ingest_batch", F.lit(int(batch_id)))
         )
-        out.write.partitionBy("ingest_batch", "bucket").mode("overwrite").parquet(
-            output_path
-        )
+        idempotent_partition_overwrite(out, ["ingest_batch", "bucket"], output_path)
         # metrics from the COMMITTED slice (validates the write, like
         # run_extraction) — scoped scan via partition pruning
-        written = sess.read.parquet(output_path).where(
+        written = batch_df.sparkSession.read.parquet(output_path).where(
             F.col("ingest_batch") == int(batch_id)
         )
         row = written.agg(
             F.count("*").alias("n"),
             F.sum(F.col("extraction_successful").cast("long")).alias("ok"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.xxhash64(F.sort_array(F.collect_list("doc_id")).cast("string")).alias("ids"),
         ).collect()[0]
+        # per-BATCH content signature (this batch's doc-id set): the
+        # source df's inputFiles() is empty inside foreachBatch, and a
+        # dir-wide fingerprint would not identify the batch's own input
+        snapshot = hashlib.sha256(
+            f"{row['n']}:{row['lo']}:{row['hi']}:{row['ids']}".encode()
+        ).hexdigest()[:16]
         log.commit(
             BucketManifest(
                 partition_id=int(batch_id),
@@ -90,7 +111,8 @@ def extract_stream_exactly_once(
                 n_failed=int(row["n"]) - int(row["ok"] or 0),
                 lineage={
                     "partition_key": f"ingest_batch={batch_id}",
-                    "input_snapshot": file_fingerprint(input_dir),
+                    "input_snapshot": snapshot,
+                    "n_buckets": str(n_buckets),
                 },
             )
         )

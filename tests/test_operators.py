@@ -451,14 +451,13 @@ def test_asof_join_matches_pandas_merge_asof_randomized(spark):
             right_set.add(k)
             right_rows.append((*k, round(rng.uniform(0, 100), 3)))
 
-        got = {
-            r["event_id"]: r["v"]
-            for r in asof_join(
-                spark.createDataFrame(left_rows, ["event_id", "user_id", "ts"]),
-                spark.createDataFrame(right_rows, ["user_id", "ts", "pval"]),
-                on="ts", by="user_id", value_col="pval", out_col="v",
-            ).collect()
-        }
+        out_rows = asof_join(
+            spark.createDataFrame(left_rows, ["event_id", "user_id", "ts"]),
+            spark.createDataFrame(right_rows, ["user_id", "ts", "pval"]),
+            on="ts", by="user_id", value_col="pval", out_col="v",
+        ).collect()
+        assert len(out_rows) == len(left_rows)  # exactly one row per left row
+        got = {r["event_id"]: r["v"] for r in out_rows}
 
         lp = pd.DataFrame(left_rows, columns=["event_id", "user_id", "ts"]).sort_values("ts")
         rp = pd.DataFrame(right_rows, columns=["user_id", "ts", "pval"]).sort_values("ts")

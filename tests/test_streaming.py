@@ -276,14 +276,24 @@ def test_foreachbatch_exactly_once_with_manifests(spark, stream_corpus, tmp_path
     got = spark.read.parquet(out)
     assert got.count() == 60
     assert got.select("doc_id").distinct().count() == 60
-    manifests = ProgressLog(mans).all_manifests()
+    manifests = ProgressLog(mans, key="ingest_batch").all_manifests()
     assert len(manifests) == 2  # maxFilesPerTrigger=1 → one per file
     assert all(m.status == "done" for m in manifests)
     assert sum(m.n_docs for m in manifests) == 60
     assert all(m.lineage["partition_key"].startswith("ingest_batch=") for m in manifests)
+    # per-batch lineage carries the batch's OWN input files, not a
+    # dir-wide snapshot: two different files → two different snapshots
+    assert manifests[0].lineage["input_snapshot"] != manifests[1].lineage["input_snapshot"]
+    # the batch job's bucket-keyed view cannot see these manifests
+    assert ProgressLog(mans).all_manifests() == []
 
     # re-run: the stream checkpoint remembers processed files → no-op
     q2 = extract_stream_exactly_once(spark, stream_corpus, out, ckpt, mans)
     q2.awaitTermination(180)
     assert spark.read.parquet(out).count() == 60
-    assert len(ProgressLog(mans).all_manifests()) == 2
+    assert len(ProgressLog(mans, key="ingest_batch").all_manifests()) == 2
+
+    # restart-with-different-n_buckets is refused (replay idempotence)
+    with pytest.raises(RuntimeError, match="n_buckets"):
+        extract_stream_exactly_once(spark, stream_corpus, out, ckpt, mans,
+                                    n_buckets=4)
