@@ -27,7 +27,7 @@ def test_stream_extract_equals_batch(spark, stream_corpus, tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
     q = extract_stream(spark, stream_corpus, out, ckpt, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
 
     got = {
         r["doc_id"]: (r["n_chars"], r["extraction_method"])
@@ -46,9 +46,9 @@ def test_stream_resumes_from_checkpoint(spark, stream_corpus, tmp_path):
     of the batch manifest resume."""
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
-    extract_stream(spark, stream_corpus, out, ckpt).awaitTermination(120)
+    assert extract_stream(spark, stream_corpus, out, ckpt).awaitTermination(300)
     n1 = spark.read.parquet(out).count()
-    extract_stream(spark, stream_corpus, out, ckpt).awaitTermination(120)
+    assert extract_stream(spark, stream_corpus, out, ckpt).awaitTermination(300)
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 == 60
 
@@ -80,7 +80,7 @@ def test_windowed_event_counts_streaming_plan(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     # append mode only emits windows the watermark has closed; with a
     # finite file source every window except the max-ts one is closed
     got = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
@@ -128,7 +128,7 @@ def test_streaming_dedup_stateful_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
 
     rows = {r["fingerprint"]: r["doc_id"] for r in spark.read.parquet(out).collect()}
     # 3 distinct normalized fingerprints (alpha/beta/gamma), each once
@@ -169,7 +169,7 @@ def test_streaming_sessionization_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
 
     # update mode appends one row per (user, micro-batch); the final
     # totals are the row with the highest n_events per user
@@ -233,7 +233,7 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300)
     got = {
         (r["segment"], r["event_type"]): r["n"]
         for r in spark.table("enrich_result").collect()
@@ -271,7 +271,7 @@ def test_foreachbatch_exactly_once_with_manifests(spark, stream_corpus, tmp_path
     mans = str(tmp_path / "manifests")
 
     q = extract_stream_exactly_once(spark, stream_corpus, out, ckpt, mans)
-    q.awaitTermination(180)
+    assert q.awaitTermination(300)
 
     got = spark.read.parquet(out)
     assert got.count() == 60
@@ -289,7 +289,7 @@ def test_foreachbatch_exactly_once_with_manifests(spark, stream_corpus, tmp_path
 
     # re-run: the stream checkpoint remembers processed files → no-op
     q2 = extract_stream_exactly_once(spark, stream_corpus, out, ckpt, mans)
-    q2.awaitTermination(180)
+    assert q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == 60
     assert len(ProgressLog(mans, key="ingest_batch").all_manifests()) == 2
 
