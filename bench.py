@@ -79,7 +79,26 @@ def _timed_trials(make_df, trials: int) -> tuple[float, float]:
     return statistics.median(times), min(times)
 
 
+def _fixtures_version() -> str:
+    """Content hash of the corpus generator: a cached corpus built by an
+    OLDER generator must not be benchmarked as if it were current (the
+    round-1 cache lacked producer metadata entirely, so benches never
+    exercised the producer-sniff path)."""
+    import hashlib
+
+    import docling_pdf_spark.core.pdfgen as pdfgen
+    import docling_pdf_spark.fixtures as fixtures
+
+    h = hashlib.sha256()
+    for mod in (fixtures, pdfgen):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
 def ensure_corpus(path: str, n_docs: int) -> str:
+    base, ext = os.path.splitext(path)
+    path = f"{base}_{_fixtures_version()}{ext}"
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         from docling_pdf_spark.fixtures import write_corpus
