@@ -995,6 +995,28 @@ FROM documents
 """
 
 
+def q_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot coverage (the inverse of the pivot matrix): widen part's
+    numeric measures into (p_partkey, measure, value) long form —
+    DataFrame.unpivot / melt, the relational stack() operation."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "measure", "value")
+
+
+SQL_UNPIVOT_PART_MEASURES = """
+SELECT p_partkey, measure, value FROM (
+  SELECT p_partkey,
+         CAST(p_size AS DOUBLE) AS size,
+         CAST(p_retailprice AS DOUBLE) AS retailprice
+  FROM part
+) UNPIVOT (value FOR measure IN (size, retailprice))
+"""
+
+
 # =====================================================================
 # Catalog
 # =====================================================================
@@ -1034,6 +1056,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "regional_revenue": (q_regional_revenue, SQL_REGIONAL_REVENUE),
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
     "deterministic_split": (q_deterministic_split, SQL_DETERMINISTIC_SPLIT),
+    "unpivot_part_measures": (q_unpivot_part_measures, SQL_UNPIVOT_PART_MEASURES),
 }
 
 

@@ -297,3 +297,48 @@ def test_foreachbatch_exactly_once_with_manifests(spark, stream_corpus, tmp_path
     with pytest.raises(RuntimeError, match="n_buckets"):
         extract_stream_exactly_once(spark, stream_corpus, out, ckpt, mans,
                                     n_buckets=4)
+
+
+def test_stateful_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The stateful operators run unchanged on the RocksDB state-store
+    provider — the store that pages state to disk at corpus scale,
+    where the default in-memory HDFS-backed store OOMs (state =
+    |distinct fingerprints|)."""
+    import pyarrow as pa
+
+    from docling_pdf_spark.streaming import streaming_dedup
+
+    d = tmp_path / "in"
+    d.mkdir()
+    schema = pa.schema([("doc_id", pa.string()), ("text", pa.string())])
+    pq.write_table(
+        pa.table({"doc_id": ["a1", "a2", "b1"],
+                  "text": ["same Doc", "SAME doc", "other document"]}, schema=schema),
+        str(d / "f0.parquet"),
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = str(tmp_path / "out")
+        q = (
+            streaming_dedup(
+                spark.readStream.schema("doc_id string, text string").parquet(str(d))
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 2  # 'same doc' dedup'd, 'other document' kept
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
