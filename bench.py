@@ -88,15 +88,18 @@ def _fixtures_version() -> str:
 
     import docling_pdf_spark.core.pdfgen as pdfgen
     import docling_pdf_spark.fixtures as fixtures
+    import docling_pdf_spark.schemas as schemas  # DOCUMENTS_PA shapes the corpus
 
     h = hashlib.sha256()
-    for mod in (fixtures, pdfgen):
+    for mod in (fixtures, pdfgen, schemas):
         with open(mod.__file__, "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:10]
 
 
 def ensure_corpus(path: str, n_docs: int) -> str:
+    import glob
+
     base, ext = os.path.splitext(path)
     path = f"{base}_{_fixtures_version()}{ext}"
     if not os.path.exists(path):
@@ -104,6 +107,11 @@ def ensure_corpus(path: str, n_docs: int) -> str:
         from docling_pdf_spark.fixtures import write_corpus
 
         write_corpus(path, n_docs)
+        # prune caches orphaned by older generator versions (each is a
+        # full multi-MB corpus; nothing else ever deletes them)
+        for stale in glob.glob(f"{base}_*{ext}") + glob.glob(f"{base}{ext}"):
+            if stale != path and os.path.isfile(stale):
+                os.remove(stale)
     return path
 
 

@@ -1000,11 +1000,18 @@ def q_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric measures into (p_partkey, measure, value) long form —
     DataFrame.unpivot / melt, the relational stack() operation."""
     part = _t(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.col("p_size").cast("double").alias("size"),
-        F.col("p_retailprice").cast("double").alias("retailprice"),
-    ).unpivot("p_partkey", ["size", "retailprice"], "measure", "value")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "measure", "value")
+        # PIN the NULL semantics: Spark's unpivot keeps NULL-value rows,
+        # DuckDB's UNPIVOT drops them — filter explicitly on BOTH sides
+        # so parity is by construction, not by NULL-free luck
+        .where(F.col("value").isNotNull())
+    )
 
 
 SQL_UNPIVOT_PART_MEASURES = """
@@ -1014,6 +1021,7 @@ SELECT p_partkey, measure, value FROM (
          CAST(p_retailprice AS DOUBLE) AS retailprice
   FROM part
 ) UNPIVOT (value FOR measure IN (size, retailprice))
+WHERE value IS NOT NULL
 """
 
 

@@ -13,6 +13,14 @@ from docling_pdf_spark.pipeline import extract
 from docling_pdf_spark.streaming import extract_stream, windowed_event_counts
 
 
+def _drain(q, timeout: int = 300) -> None:
+    """Wait for an availableNow query; on timeout STOP it before failing
+    so a hung stream cannot poison later tests on the shared session."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise AssertionError(f"streaming query did not drain in {timeout}s")
+
+
 @pytest.fixture(scope="module")
 def stream_corpus(tmp_path_factory):
     d = tmp_path_factory.mktemp("stream-in")
@@ -27,7 +35,7 @@ def test_stream_extract_equals_batch(spark, stream_corpus, tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
     q = extract_stream(spark, stream_corpus, out, ckpt, available_now=True)
-    assert q.awaitTermination(300)
+    _drain(q)
 
     got = {
         r["doc_id"]: (r["n_chars"], r["extraction_method"])
@@ -46,9 +54,9 @@ def test_stream_resumes_from_checkpoint(spark, stream_corpus, tmp_path):
     of the batch manifest resume."""
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
-    assert extract_stream(spark, stream_corpus, out, ckpt).awaitTermination(300)
+    _drain(extract_stream(spark, stream_corpus, out, ckpt))
     n1 = spark.read.parquet(out).count()
-    assert extract_stream(spark, stream_corpus, out, ckpt).awaitTermination(300)
+    _drain(extract_stream(spark, stream_corpus, out, ckpt))
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 == 60
 
@@ -80,7 +88,7 @@ def test_windowed_event_counts_streaming_plan(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300)
+    _drain(q)
     # append mode only emits windows the watermark has closed; with a
     # finite file source every window except the max-ts one is closed
     got = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
@@ -128,7 +136,7 @@ def test_streaming_dedup_stateful_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300)
+    _drain(q)
 
     rows = {r["fingerprint"]: r["doc_id"] for r in spark.read.parquet(out).collect()}
     # 3 distinct normalized fingerprints (alpha/beta/gamma), each once
@@ -169,7 +177,7 @@ def test_streaming_sessionization_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300)
+    _drain(q)
 
     # update mode appends one row per (user, micro-batch); the final
     # totals are the row with the highest n_events per user
@@ -233,7 +241,7 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300)
+    _drain(q)
     got = {
         (r["segment"], r["event_type"]): r["n"]
         for r in spark.table("enrich_result").collect()
@@ -271,7 +279,7 @@ def test_foreachbatch_exactly_once_with_manifests(spark, stream_corpus, tmp_path
     mans = str(tmp_path / "manifests")
 
     q = extract_stream_exactly_once(spark, stream_corpus, out, ckpt, mans)
-    assert q.awaitTermination(300)
+    _drain(q)
 
     got = spark.read.parquet(out)
     assert got.count() == 60
@@ -289,7 +297,7 @@ def test_foreachbatch_exactly_once_with_manifests(spark, stream_corpus, tmp_path
 
     # re-run: the stream checkpoint remembers processed files → no-op
     q2 = extract_stream_exactly_once(spark, stream_corpus, out, ckpt, mans)
-    assert q2.awaitTermination(300)
+    _drain(q2)
     assert spark.read.parquet(out).count() == 60
     assert len(ProgressLog(mans, key="ingest_batch").all_manifests()) == 2
 
@@ -334,7 +342,7 @@ def test_stateful_dedup_on_rocksdb_state_store(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(300)
+        _drain(q)
         rows = spark.read.parquet(out).collect()
         assert len(rows) == 2  # 'same doc' dedup'd, 'other document' kept
     finally:
