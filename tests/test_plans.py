@@ -82,6 +82,21 @@ def test_no_python_in_relational_plans(spark, fn):
         assert marker not in plan  # relational queries never enter Python
 
 
+def test_narrow_ops_have_no_shuffle_or_python(spark):
+    """winnow_fingerprints and deterministic_split are pure per-row
+    array/hash expressions: their plans must be scan → project/explode
+    with no Exchange and no Python stage (at 100 TB these run at scan
+    speed, embarrassingly parallel)."""
+    from docling_pdf_spark.queries import q_deterministic_split, q_winnow_fingerprints
+    from docling_pdf_spark.plans import formatted_plan
+
+    for fn in (q_winnow_fingerprints, q_deterministic_split):
+        plan = formatted_plan(fn(spark, SF_DIR))
+        assert "Exchange" not in plan, fn.__name__
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "MapInArrow"):
+            assert marker not in plan, fn.__name__
+
+
 def test_regional_revenue_broadcasts_all_dims(spark):
     """TPC-H Q5-style star join: region filter pushed to the scan, every
     dim join broadcast, no sort-merge join anywhere."""
