@@ -90,16 +90,25 @@ def winnow_near_dup_pairs(
     text_col: str = "text",
     max_bucket: int = MAX_LSH_BUCKET,
     hash_mode: str = "fast",
+    min_containment: float = 0.0,
 ) -> DataFrame:
     """Candidate pairs sharing ≥ min_shared winnowed fingerprints —
     catches partial-overlap reuse (a shared passage of ≥ w+k−1 chars
     guarantees ≥1 shared fingerprint). Same one-shuffle bucket pattern
     and mega-bucket cap as the other dedup operators. Pair generation
-    never leaves Spark, so it defaults to the fast hash."""
+    never leaves Spark, so it defaults to the fast hash.
+
+    Output includes `containment` = n_shared / min(|fp_a|, |fp_b|) —
+    the scale-free near-dup criterion (Broder's containment): an
+    absolute count triggers on incidental substring overlaps in
+    vocabulary-poor corpora, while a high containment means most of the
+    smaller document's fingerprint set is reused. Set min_containment
+    (e.g. 0.5) for dedup decisions; min_shared for passage search."""
     fp = winnow_fingerprints(docs, k, w, id_col, text_col, hash_mode)
+    sizes = fp.groupBy(id_col).agg(F.count("*").alias("n_fp"))
     capped = _cap_buckets(fp, ["fingerprint"], max_bucket)
     a, b = capped.alias("a"), capped.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.fingerprint") == F.col("b.fingerprint"))
@@ -110,4 +119,19 @@ def winnow_near_dup_pairs(
         )
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("_na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("_nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("_na", "_nb").cast("double"),
+                4,
+            ),
+        )
+        .where(F.col("containment") >= min_containment)
+        .select("doc_a", "doc_b", "n_shared", "containment")
     )

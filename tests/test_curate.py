@@ -52,3 +52,24 @@ def test_curate_funnel_drops_each_planted_offender(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     # exact dedup keeps the LOWEST doc_id per hash ('exact-dup' < 'keep-1')
     assert kept == {"exact-dup", "keep-2"}
+
+
+def test_curate_winnow_mode_catches_the_near_dup(spark, tmp_path):
+    """The winnow near-dup mode drops the same planted near-dup (its
+    shared passages guarantee shared fingerprints)."""
+    from jobs.curate import curate
+
+    rows = [
+        _doc("keep-1", BASE),
+        _doc("near-dup", BASE.replace("lazy", "sleepy")),
+        _doc("keep-2", "an entirely different long document about mountain "
+                       "weather patterns and the seasonal snowfall records "
+                       "measured across forty alpine stations since twenty ten"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_PA), src)
+    out = str(tmp_path / "curated")
+    funnel = curate(spark, src, out, min_chars=80, near_dup="winnow")
+    assert funnel["dropped_near_dups"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"keep-1", "keep-2"}
