@@ -203,7 +203,7 @@ WITH base AS (
 )
 SELECT doc_id, p.page_number, lt AS page_chars, words AS page_words,
        'native' AS extraction_method
-FROM base, (SELECT unnest([0, 1]) AS page_number) p
+FROM base, (SELECT unnest([1, 2]) AS page_number) p
 """
 
 
@@ -295,6 +295,19 @@ def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(simhash_fingerprints(docs), max_hamming=8)
 
 
+def _simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with engine-portable token hashing — the variant DuckDB
+    checks EXACTLY (r2 VERDICT #3; the xxhash64 fast path above stays
+    rows-only, same candidate-pair engine)."""
+    from docling_pdf_spark.operators.dedup import (
+        simhash_fingerprints_portable,
+        simhash_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dups(simhash_fingerprints_portable(docs), max_hamming=8)
+
+
 def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -308,6 +321,54 @@ def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
     cents = kmeans_centroids(emb, n=16, iters=3)
     return ivf_cosine_topk(ivf_assign(emb, cents), cents, qv, k=10, nprobe=4)
+
+
+def _ivf_ann_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive-probe IVF top-k == brute force (VERDICT r2 #2): with
+    nprobe = n_centroids every bucket is scanned and each vector sits in
+    exactly one bucket, so the IVF result must equal q_ann_cosine_topk —
+    which already has DuckDB SQL. This entry proves the IVF machinery
+    (assignment argmax, bucket pruning, in-bucket ranking) EXACT; the
+    approximate nprobe<n path stays rows-only, recall-gated in tests."""
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.operators.similarity import (
+        ivf_assign,
+        ivf_cosine_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
+    cents = kmeans_centroids(emb, n=16, iters=3)
+    # match the brute-force entry's contract: query vector excluded,
+    # sim rounded to 4 (the proven DuckDB float64 parity precision)
+    topk = ivf_cosine_topk(
+        ivf_assign(emb.where(F.col("vec_id") != 0), cents),
+        cents, qv, k=10, nprobe=16, sim_round=4,
+    )
+    labels = emb.select("vec_id", "label")
+    return (
+        topk.join(F.broadcast(labels), "vec_id")
+        .select("vec_id", "label", "sim")
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+    )
+
+
+def _embedding_near_dups_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive multi-probe bucketed near-dups == exact O(n²) pass:
+    with nprobe = n_centroids every vector lands in every bucket, so
+    the bucketed subset property collapses to equality with
+    q_embedding_near_dups (existing DuckDB SQL). Proves the bucketed
+    join + cross-bucket pair dedupe exact."""
+    from docling_pdf_spark.operators.dedup import embedding_near_dups_bucketed
+    from docling_pdf_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups_bucketed(
+        emb, kmeans_centroids(emb, n=16, iters=3),
+        threshold=0.3, nprobe=16, max_bucket=1_000_000_000,
+    )
 
 
 def _embedding_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,8 +395,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_lsh_dedup"] = _minhash_lsh
     q["minhash_lsh_portable"] = _minhash_lsh_portable
     q["simhash_near_dups"] = _simhash_near_dups
+    q["simhash_portable"] = _simhash_portable
     q["ivf_ann_topk"] = _ivf_ann_topk
     q["embedding_near_dups_bucketed"] = _embedding_near_dups_bucketed
+    # exhaustive-probe variants: nprobe = n_centroids collapses IVF to
+    # the exact result, so these two get REAL DuckDB oracles (r2 VERDICT #2)
+    q["ivf_ann_topk_exhaustive"] = _ivf_ann_topk_exhaustive
+    q["embedding_near_dups_exhaustive"] = _embedding_near_dups_exhaustive
     return q
 
 
@@ -349,4 +415,13 @@ def oracle_sql() -> dict[str, str]:
     o["extract_page_stats"] = SQL_EXTRACT_PAGE_STATS
     o["streaming_windowed_counts"] = SQL_STREAMING_WINDOWED
     o["minhash_lsh_portable"] = minhash_lsh_portable_oracle_sql(threshold=0.3)
+    from docling_pdf_spark.operators.dedup import simhash_portable_oracle_sql
+
+    o["simhash_portable"] = simhash_portable_oracle_sql(max_hamming=8)
+    # exhaustive-probe IVF == brute force, so the existing brute-force
+    # SQL is the exact oracle for both entries
+    from docling_pdf_spark.queries import SQL_ANN_COSINE_TOPK, SQL_EMBEDDING_NEAR_DUPS
+
+    o["ivf_ann_topk_exhaustive"] = SQL_ANN_COSINE_TOPK
+    o["embedding_near_dups_exhaustive"] = SQL_EMBEDDING_NEAR_DUPS
     return o

@@ -54,6 +54,7 @@ OUTPUT_COLUMNS = [
     "has_tables",
     "has_images",
     "producer",
+    "metadata",
     "warning",
     "error",
 ]
@@ -86,6 +87,7 @@ def _error_row(doc_id: str, error: str) -> dict:
         "has_tables": False,
         "has_images": False,
         "producer": None,
+        "metadata": None,
         "warning": None,
         "error": error,
     }
@@ -113,6 +115,7 @@ def _extract_pdf_payload(
     images: list[tuple[str | None, str]],
     warnings: list[str],
     producers: list[str],
+    metadatas: list[dict],
 ) -> str:
     """Run the admission gates + parse ladder on one pdf span.
 
@@ -132,6 +135,8 @@ def _extract_pdf_payload(
     parsed = parse_ladder(data)
     if parsed.producer:
         producers.append(parsed.producer)
+    if parsed.metadata:  # full Info dict (pdf_extractor.py:596)
+        metadatas.append(parsed.metadata)
     if parsed.encrypted:  # pdf_extractor.py:131-132, 594
         warnings.append("encrypted")
     if parsed.needs_password:  # pdf_extractor.py:591-612 distinct flag
@@ -186,6 +191,7 @@ def _extract_document(doc_id: str, spans: Any) -> dict:
     media_links: list[tuple[str | None, str, int]] = []  # (ref, caption, block idx)
     warnings: list[str] = []
     producers: list[str] = []  # X4 metadata sniff (pdf_extractor.py:139-148)
+    metadatas: list[dict] = []  # full Info dicts (pdf_extractor.py:596)
     rung_rank = RUNG_ORDER.index(RUNG_NATIVE)
 
     span_list = list(spans) if spans is not None else []
@@ -225,7 +231,9 @@ def _extract_document(doc_id: str, spans: Any) -> dict:
                 elif blk.kind == "image":
                     images.append((blk.media_ref, blk.text))
         elif kind == "pdf":
-            rung = _extract_pdf_payload(text, text_blocks, images, warnings, producers)
+            rung = _extract_pdf_payload(
+                text, text_blocks, images, warnings, producers, metadatas
+            )
             rung_rank = max(rung_rank, RUNG_ORDER.index(rung))
         elif kind == "media":
             media_links.append((media_ref, text, len(text_blocks) - 1))
@@ -263,9 +271,11 @@ def _extract_document(doc_id: str, spans: Any) -> dict:
         "n_words": len(full_text.split()),  # pdf_extractor.py:456
         "has_tables": bool(tables),  # pdf_extractor.py:342
         "has_images": bool(images),  # pdf_extractor.py:343
-        # first-seen producer (reference sniffs one PDF per task,
-        # pdf_extractor.py:139-148; interleaved docs may carry several)
+        # first-seen producer / Info dict (reference sniffs one PDF per
+        # task, pdf_extractor.py:139-148, :596; interleaved docs may
+        # carry several — first-seen wins for both, consistently)
         "producer": producers[0] if producers else None,
+        "metadata": metadatas[0] if metadatas else None,
         "warning": ";".join(uniq) if uniq else None,
         "error": None,
     }

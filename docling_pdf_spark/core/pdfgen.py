@@ -52,6 +52,7 @@ def make_pdf(
     encrypted: bool = False,
     needs_password: bool = False,
     producer: str | None = None,
+    info: dict[str, str] | None = None,
     corrupt: str | None = None,
 ) -> bytes:
     """Build PDF bytes.
@@ -61,6 +62,8 @@ def make_pdf(
     needs_password: like encrypted, but /U differs from the padding —
       a user password is required (implies encrypted).
     producer: attach an /Info dictionary with this /Producer string.
+    info: extra /Info entries (Title, Author, CreationDate, ...) —
+      string values only, merged with producer into one Info object.
 
     corrupt:
       None            — well-formed (strict rung parses it)
@@ -144,8 +147,14 @@ def make_pdf(
             % (_esc_bytes(bytes(reversed(PDF_PAD))), _esc_bytes(u))
         )
     info_ref = None
+    entries = dict(info or {})
     if producer is not None:
-        info_ref = add(b"<< /Producer (%s) >>" % _esc(producer))
+        entries = {"Producer": producer, **entries}
+    if entries:
+        body = b" ".join(
+            b"/%s (%s)" % (k.encode("ascii"), _esc(v)) for k, v in entries.items()
+        )
+        info_ref = add(b"<< %s >>" % body)
 
     header = b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n"
     if corrupt == "no_magic":

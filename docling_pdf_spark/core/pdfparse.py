@@ -71,12 +71,16 @@ class ParsedPdf:
     encrypted: bool = False
     needs_password: bool = False  # reference pdf_extractor.py:591-612
     producer: str | None = None  # reference pdf_extractor.py:139-148, :596
+    metadata: dict[str, str] = field(default_factory=dict)  # full Info dict, :596
     pages_with_valid_dimensions: int = 0
 
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
-_BT_RE = re.compile(rb"BT\b(.*?)\bET", re.S)
+# the block body consumes literal strings ATOMICALLY ( \(...\) with
+# escapes ) so a page text containing the bare token 'ET' cannot
+# terminate the BT...ET scan early (hypothesis-found: texts=['ET'])
+_BT_RE = re.compile(rb"BT\b((?:\((?:\\.|[^\\()])*\)|[^(])*?)\bET", re.S)
 _TD_RE = re.compile(rb"([-\d.]+)\s+([-\d.]+)\s+Td")
 _TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj")
 _DO_RE = re.compile(rb"/\w+\s+Do\b")
@@ -147,8 +151,9 @@ def _unescape_bytes(raw: bytes) -> bytes:
 
 
 _U_RE = re.compile(rb"/U\s*\(((?:\\.|[^\\()])*)\)")
-_PRODUCER_RE = re.compile(rb"/Producer\s*\(((?:\\.|[^\\()])*)\)")
 _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+(\d+)\s+R")
+_INFO_ENTRY_RE = re.compile(rb"/(\w+)\s*\(((?:\\.|[^\\()])*)\)")
 
 
 def encryption_flags(data: bytes) -> tuple[bool, bool]:
@@ -194,18 +199,48 @@ def encryption_flags(data: bytes) -> tuple[bool, bool]:
     return True, needs
 
 
+def info_dict(data: bytes) -> dict[str, str]:
+    """The document-information dictionary (reference pdf_extractor.py:596
+    stores PyMuPDF's whole metadata map): every `/Key (string)` entry of
+    the object the trailer's /Info reference resolves to.
+
+    Scoped exactly like encryption_flags (round-2 ADVICE: the old
+    whole-stream '/Producer (...)' scan reported page TEXT that merely
+    mentions the token as document metadata): the /Info N G R reference
+    must sit in the trailer (or, for xref-stream files with no 'trailer'
+    keyword, anywhere as a full indirect reference), and the values are
+    read from the LAST matching `N G obj` body — incremental updates
+    append, so content bytes cannot shadow the real Info object.
+
+    bytes.find prefilter first (memchr, ~10× a regex scan on the common
+    no-Info payload — the same measured-12% lesson as the old sniff)."""
+    if data.find(b"/Info") < 0:
+        return {}
+    trailer_at = data.rfind(b"trailer")
+    scope_for_ref = data[trailer_at:] if trailer_at >= 0 else data
+    ref = _INFO_REF_RE.search(scope_for_ref)
+    if ref is None:
+        return {}
+    obj_re = re.compile(
+        rb"(?<![0-9])" + ref.group(1) + rb"\s+" + ref.group(2) + rb"\s+obj\b(.*?)endobj",
+        re.S,
+    )
+    last = None
+    for m_obj in obj_re.finditer(data):
+        last = m_obj
+    if last is None:
+        return {}
+    return {
+        m.group(1).decode("ascii", errors="replace"): _unescape(m.group(2))
+        for m in _INFO_ENTRY_RE.finditer(last.group(1))
+    }
+
+
 def sniff_producer(data: bytes) -> str | None:
     """Cosmetic producer sniff (reference X4, pdf_extractor.py:139-148:
-    a cheap metadata peek, never load-bearing for extraction).
-
-    bytes.find first (two-way/memchr search, ~10× a regex scan on the
-    common no-producer payload — measured 12% of whole-doc extraction
-    when the regex scanned every byte), regex only at the hit."""
-    i = data.find(b"/Producer")
-    if i < 0:
-        return None
-    m = _PRODUCER_RE.search(data, i)
-    return _unescape(m.group(1)) if m else None
+    a cheap metadata peek, never load-bearing for extraction) — now the
+    /Producer entry of the resolved Info dictionary only."""
+    return info_dict(data).get("Producer")
 
 
 _OP_RE = re.compile(
@@ -369,5 +404,8 @@ def parse_ladder(data: bytes) -> ParsedPdf:
     enc, needs = encryption_flags(data)
     parsed.encrypted = parsed.encrypted or enc
     parsed.needs_password = needs
-    parsed.producer = sniff_producer(data)
+    # one /Info resolution feeds both the full metadata map and the
+    # producer sniff (reference stores the whole map, pdf_extractor.py:596)
+    parsed.metadata = info_dict(data)
+    parsed.producer = parsed.metadata.get("Producer")
     return parsed

@@ -429,6 +429,18 @@ def embedding_near_dups_bucketed(
 
 
 # ---------------------------------------------------------------- simhash
+# Two fingerprint variants share one candidate-pair engine
+# (simhash_near_dups):
+#   * simhash_fingerprints — xxhash64 per token (fast path, rows-only
+#     driver check, recall gated in tests);
+#   * simhash_fingerprints_portable — 60-bit md5-low hash per token
+#     (functions/hashing.py, the same base the portable MinHash uses),
+#     which DuckDB reproduces bit-for-bit, so the whole
+#     fingerprint→chunk→bucket→hamming pipeline gets an EXACT oracle
+#     (simhash_portable_oracle_sql). A 60-bit fingerprint in the 64-bit
+#     chunker is sound: the top 4 bits are 0 for every doc, so chunk
+#     equality and bit_count(xor) are unaffected and the pigeonhole
+#     recall guarantee still holds.
 
 
 def simhash_fingerprints(
@@ -458,6 +470,96 @@ def simhash_fingerprints(
         F.lit(0).cast("long"),
     )
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+SIMHASH_PORTABLE_BITS = 60
+
+
+def simhash_fingerprints_portable(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash from the engine-portable md5-low-60 token hash —
+    same plan as the fast path (one groupBy, 60 sum() bit votes,
+    partial+final JVM agg), exactly reproducible in DuckDB."""
+    from docling_pdf_spark.functions.hashing import portable_hash60
+
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+    ).where(F.col("w") != "")
+    h = portable_hash60(F.col("w"))
+    votes = [
+        F.sum(
+            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"v_{b}")
+        for b in range(SIMHASH_PORTABLE_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    fp = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(F.col(f"v_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ),
+        range(SIMHASH_PORTABLE_BITS),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_portable_oracle_sql(
+    max_hamming: int = 8,
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> str:
+    """DuckDB oracle for simhash_near_dups(simhash_fingerprints_portable)
+    — generated so the bit width, chunk layout and the mega-bucket cap
+    are shared with the Spark plan by construction (mirror of
+    minhash_lsh_portable_oracle_sql)."""
+    from docling_pdf_spark.functions.hashing import PORTABLE_HASH60_SQL
+
+    nb = SIMHASH_PORTABLE_BITS
+    b = max_hamming + 1  # simhash_near_dups default chunk count
+    width = 64 // b
+    mask = (1 << width) - 1
+    last_mask = (1 << (64 - width * (b - 1))) - 1
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(nb)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        for i in range(nb)
+    )
+    h_sql = PORTABLE_HASH60_SQL.format(x="w")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w FROM documents
+), hashes AS (
+  SELECT doc_id, {h_sql} AS h FROM toks WHERE w <> ''
+), votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashes GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {fp_expr} AS simhash FROM votes
+), melted AS (
+  SELECT doc_id, simhash, c AS chunk_idx,
+         (simhash >> ({width} * c)) &
+           (CASE WHEN c = {b - 1} THEN {last_mask} ELSE {mask} END) AS chunk
+  FROM fp, LATERAL (SELECT unnest(range(0, {b})) AS c) u
+), capped AS (
+  SELECT * FROM melted
+  QUALIFY count(*) OVER (PARTITION BY chunk_idx, chunk) <= {max_bucket}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS fa, b.simhash AS fb
+  FROM capped a JOIN capped b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(fa, fb)) AS hamming
+FROM pairs
+WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""
 
 
 def simhash_near_dups(
@@ -491,8 +593,11 @@ def simhash_near_dups(
             )
         b = max_hamming + 1
     else:
-        if n_chunks < 1:
-            raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
+        # n_chunks > 64 would make width = 64 // b == 0: zero-bit chunks
+        # put every fingerprint in one bucket per chunk index — silent
+        # all-pairs blowup (or zero recall under the mega-bucket cap)
+        if not 1 <= n_chunks <= 64:
+            raise ValueError(f"n_chunks must be in [1, 64], got {n_chunks}")
         b = n_chunks
     width = 64 // b
     mask = (1 << width) - 1

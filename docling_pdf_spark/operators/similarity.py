@@ -203,9 +203,16 @@ def ivf_cosine_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sim_round: int = 6,
 ) -> DataFrame:
     """ANN query: rank centroids vs the query, scan only the nprobe
-    best buckets (partition pruning at scale), exact top-k inside."""
+    best buckets (partition pruning at scale), exact top-k inside.
+
+    With nprobe >= n_centroids every bucket is scanned, so the result
+    is EXACTLY the brute-force top-k (every vector sits in exactly one
+    bucket) — the exhaustive-probe equivalence the oracled driver entry
+    uses to prove the IVF machinery (assignment, pruning, ranking)
+    correct, leaving only the approximation itself unoracled."""
     q = F.lit(query_vec).cast("array<double>")
     c = F.col("centroid").cast("array<double>")
     probe_ids = [
@@ -221,7 +228,7 @@ def ivf_cosine_topk(
     sim = _dot(v, q) / (_norm(v) * _norm(q))
     return (
         assigned.where(F.col("bucket").isin(probe_ids))
-        .select(F.col(id_col), F.round(sim, 6).alias("sim"))
+        .select(F.col(id_col), F.round(sim, sim_round).alias("sim"))
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )

@@ -37,19 +37,26 @@ def page_stats(extracted: DataFrame) -> DataFrame:
     docling path discards them, SURVEY.md §1.1 schema asymmetry). Here
     the stats are a relational consumer of the span encoding, so they
     exist for EVERY extraction_method: one posexplode over the text
-    spans, pure JVM expressions, no Python stage."""
+    spans, pure JVM expressions, no Python stage.
+
+    Reference semantics (round-2 ADVICE): page numbers are 1-based
+    (pdf_extractor.py enumerate(..., 1) convention) and an empty page
+    has 0 words — Python's ''.split() is [], but F.split('', '\\s+')
+    is [''] (size 1), so the empty case needs an explicit guard."""
     s = F.col("s")
     return extracted.select(
         "doc_id",
         "extraction_method",
         F.posexplode(
             F.filter(F.coalesce(F.col("spans"), F.array()), lambda x: x["kind"] == "text")
-        ).alias("page_number", "s"),
+        ).alias("page_idx", "s"),
     ).select(
         "doc_id",
-        "page_number",
+        (F.col("page_idx") + 1).alias("page_number"),
         F.length(s["text"]).alias("page_chars"),
-        F.size(F.split(F.trim(s["text"]), r"\s+")).alias("page_words"),
+        F.when(F.length(F.trim(s["text"])) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(s["text"]), r"\s+")))
+        .alias("page_words"),
         "extraction_method",
     )
 

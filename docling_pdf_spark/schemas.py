@@ -52,6 +52,11 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("has_images", T.BooleanType(), True),
         # X4 metadata sniff (pdf_extractor.py:139-148, :596 /Producer)
         T.StructField("producer", T.StringType(), True),
+        # full document-information dict (pdf_extractor.py:596 stores
+        # PyMuPDF's whole metadata map): Title/Author/CreationDate/...
+        T.StructField(
+            "metadata", T.MapType(T.StringType(), T.StringType()), True
+        ),
         T.StructField("warning", T.StringType(), True),
         T.StructField("error", T.StringType(), True),
     ]
@@ -107,6 +112,7 @@ EXTRACTED_PA = pa.schema(
         ("has_tables", pa.bool_()),
         ("has_images", pa.bool_()),
         ("producer", pa.string()),
+        ("metadata", pa.map_(pa.string(), pa.string())),
         ("warning", pa.string()),
         ("error", pa.string()),
     ]

@@ -53,12 +53,20 @@ def idempotent_partition_overwrite(
     df: "DataFrame", partition_cols: list[str], path: str
 ) -> None:
     """THE overwrite-safe write both the batch job and the streaming
-    foreachBatch sink use: pins partitionOverwriteMode=dynamic on the
-    df's own session (a default 'static' session would truncate the
-    whole output path and delete committed partitions — round-1
-    ADVICE), then replaces exactly the partitions present in df."""
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+    foreachBatch sink use: pins partitionOverwriteMode=dynamic on this
+    WRITE ONLY via the DataFrameWriter option (a default 'static' write
+    would truncate the whole output path and delete committed
+    partitions — round-1 ADVICE), then replaces exactly the partitions
+    present in df. Round-2 ADVICE: setting the session conf here leaked
+    dynamic semantics into every later mode('overwrite') write on the
+    shared session; the writer-scoped option leaves session state
+    untouched."""
+    (
+        df.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .mode("overwrite")
+        .parquet(path)
+    )
 
 
 class TableIO:
@@ -114,8 +122,13 @@ class TableIO:
                 return
             df.writeTo(full).overwritePartitions()
             return
-        df.write.partitionBy(partition_col).mode("overwrite").parquet(
-            self._path(table)
+        # dynamic overwrite scoped to this write (writer option, not
+        # session conf) so only the partitions present in df are replaced
+        (
+            df.write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .mode("overwrite")
+            .parquet(self._path(table))
         )
 
     def merge_progress(self, updates: DataFrame, table: str = "_progress") -> None:

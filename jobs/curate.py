@@ -12,8 +12,9 @@ Every stage is one of the tested library operators; this job is the
 composition, not new logic. Scale notes: the only Python stage is the
 extraction UDF; quality gates are codegen filters; both dedups shuffle
 once on their key (hash / band bucket with the mega-bucket cap); the
-near-dup drop side is a broadcast-able distinct-id list at realistic
-dup rates (explicitly broadcast here).
+near-dup drop side is a distinct-id anti-join whose strategy AQE picks
+at runtime (broadcast only when measured small — a forced broadcast
+would OOM at crawl-scale dup rates).
 
     spark-submit --py-files dist/docling_pdf_spark.zip jobs/curate.py \
         --input <documents parquet> --output <curated path> \
@@ -110,8 +111,11 @@ def curate(
     else:
         raise ValueError(f"unknown near_dup mode: {near_dup}")
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    # the near-dup drop list IS small (only pair members), broadcast-safe
-    curated = exact.join(F.broadcast(drop), "doc_id", "left_anti").drop("full_text")
+    # no broadcast hint: on real crawl data near-dup rates hit 30-50%,
+    # so the drop list is O(duplicate docs) — TB-scale at 100 TB input —
+    # and a forced broadcast OOMs the driver (round-2 ADVICE). AQE picks
+    # broadcast on its own when the built side is measured small.
+    curated = exact.join(drop, "doc_id", "left_anti").drop("full_text")
     curated.write.mode("overwrite").parquet(output_path)
     ok.unpersist()
 

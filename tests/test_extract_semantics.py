@@ -117,6 +117,7 @@ def test_bad_magic_is_error_row():
         "has_tables": False,
         "has_images": False,
         "producer": None,
+        "metadata": None,
         "warning": None,
         "error": "invalid_pdf_magic",
     }
@@ -154,6 +155,41 @@ def test_producer_metadata_column():
     assert bare["producer"] is None
     no_pdf = extract_document("d", [sp("text", "plain text only")])
     assert no_pdf["producer"] is None
+
+
+def test_producer_ignores_page_text_mention():
+    """Round-2 ADVICE: '/Producer (x)' appearing in page TEXT must not be
+    reported as document metadata — the sniff resolves the trailer's
+    /Info object only (same scoping class as the /Encrypt fix)."""
+    row = extract_document(
+        "d",
+        [sp("pdf", pdf64([PageSpec(texts=[(0, 700.0, "see /Producer (fake) here")])]))],
+    )
+    assert row["producer"] is None
+    assert row["metadata"] is None
+
+
+def test_metadata_map_roundtrip():
+    """VERDICT #6: the reference stores PyMuPDF's whole metadata map
+    (pdf_extractor.py:596); the full Info dict rides a map column and
+    span output is unchanged by its presence."""
+    info = {"Title": "Título", "Author": "A. N. Author",
+            "CreationDate": "D:20260101120000Z"}
+    with_md = extract_document(
+        "d", [sp("pdf", pdf64([PageSpec(texts=[(0, 700.0, "hello world")])],
+                              producer="fixture-writer 1.4", info=info))]
+    )
+    assert with_md["metadata"] == {"Producer": "fixture-writer 1.4", **info}
+    assert with_md["producer"] == "fixture-writer 1.4"
+    bare = extract_document(
+        "d", [sp("pdf", pdf64([PageSpec(texts=[(0, 700.0, "hello world")])],
+                              producer="fixture-writer 1.4", info=info))]
+    )
+    plain = extract_document(
+        "d", [sp("pdf", pdf64([PageSpec(texts=[(0, 700.0, "hello world")])]))]
+    )
+    assert bare["spans"] == plain["spans"]  # metadata never alters spans
+    assert plain["metadata"] is None
 
 
 def test_oversize_is_error_row(monkeypatch):
