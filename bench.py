@@ -60,6 +60,26 @@ CORPUS_DOCS = 10_000
 REPLICATE = 4  # JVM-side copies of the corpus for the extraction headline
 
 
+def _winnow_fast(spark, sf_dir):
+    """Bench-only row (r2 VERDICT #8): winnow_fingerprints with the
+    xxhash64 production hash. The driver entry must stay on the portable
+    md5 hash (that's what DuckDB can check), but ~90% of its bench cost
+    IS that hash — this row separates production cost from
+    oracle-portability cost. Not a driver entry: same operator, same
+    plan, only the hash differs."""
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.operators.winnow import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, hash_mode="fast")
+
+
+# bench-only extras: timed like BENCH_QUERIES but not part of the
+# driver's queries()/oracle_sql() contract
+EXTRA_BENCH = {"winnow_fingerprints_fast": _winnow_fast}
+
+
 def _noop_write(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -175,8 +195,12 @@ def main() -> int:
     # headline: the extraction pipeline itself
     docs = replicated_corpus(spark, corpus, REPLICATE)
     n_docs = docs.count()
+    # salt_mode pinned to 'heavy' (not the 'auto' default): the bench
+    # corpus is well-mixed, so auto resolves to heavy anyway, and the
+    # explicit pin keeps the headline comparable across rounds (r1/r2
+    # measured heavy) instead of folding auto's probe job into the timing
     extract_sec, extract_min = _timed_trials(
-        lambda: extract(docs, num_partitions=cpus * 3), trials
+        lambda: extract(docs, num_partitions=cpus * 3, salt_mode="heavy"), trials
     )
     timings["extract_pipeline"] = round(extract_sec, 3)
     best["extract_pipeline"] = round(extract_min, 3)
@@ -187,7 +211,13 @@ def main() -> int:
         timings[name] = round(med, 3)
         best[name] = round(mn, 3)
 
+    # headline total EXCLUDES the extras (keeps round-over-round suite
+    # numbers comparable); extras are reported alongside
     total = round(sum(timings.values()), 3)
+    extras: dict[str, float] = {}
+    for name, fn in EXTRA_BENCH.items():
+        med, _mn = _timed_trials(lambda: fn(spark, sf_dir), trials)
+        extras[name] = round(med, 3)
     print(
         json.dumps(
             {
@@ -196,6 +226,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "queries_min": best,
+                "queries_extra": extras,
                 "trials": trials,
                 "sf": sf,
                 "extract_docs": n_docs,

@@ -74,9 +74,11 @@ def worker(cores: int, corpus: str, replicate: int, doc_slice: str | None = None
         i, k = (int(x) for x in (doc_slice or "0/1").split("/"))
         _barrier(barrier, i, k)
     t0 = time.perf_counter()
-    extract(docs, num_partitions=cores * PARTITIONS_PER_CORE).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # salt_mode pinned: 'auto' (the library default) would run its layout
+    # probe inside the timed section and skew the level comparison
+    extract(
+        docs, num_partitions=cores * PARTITIONS_PER_CORE, salt_mode="heavy"
+    ).write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - t0
     print(json.dumps({"cores": cores, "n_docs": n_docs,
                       "elapsed_sec": round(elapsed, 3),

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Skew evidence harness (BENCH/BASELINE.md skew table; r2 VERDICT #4).
+
+Adversarial input: the fixture corpus SORTED BY DOCUMENT COST, so scan
+splits inherit the cost gradient. For each salt mode, the extraction
+UDF stage runs with a per-partition timing probe and the report is the
+task-time max/median ratio — the straggler-tail metric the round-1
+measurement used. `auto` must match `full` here (it probes the layout
+and picks full), and must match `heavy` on the unsorted layout.
+
+    python bench/skew.py [--docs 40000] [--cores 16] [--modes auto full heavy none]
+
+Prints one JSON line per (layout, mode):
+    {"layout": "sorted", "mode": "auto", "resolved": "full",
+     "max_over_median": 1.7, "tasks": 48, "sec": 12.3}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed_partition_probe(df):
+    """Wrap the extraction Arrow kernel with a per-partition stopwatch:
+    each task yields one (rows, sec) row, so max/median task compute
+    time is measurable without JVM listener plumbing."""
+    import pyarrow as pa
+
+    def probe(batches):
+        from docling_pdf_spark.pipeline import _chunked_extract_arrow
+
+        t0 = time.perf_counter()
+        n = 0
+        for out in _chunked_extract_arrow(batches):
+            n += out.num_rows
+        yield pa.RecordBatch.from_pydict(
+            {"rows": [n], "sec": [time.perf_counter() - t0]}
+        )
+
+    return df.mapInArrow(probe, schema="rows long, sec double")
+
+
+def run_mode(spark, docs, mode: str, num_partitions: int):
+    """One (layout, mode) measurement; returns the report dict."""
+    from docling_pdf_spark.pipeline import (
+        detect_cost_sorted,
+        heavy_only_salting,
+        salted_repartition,
+    )
+
+    resolved = mode
+    if mode == "auto":
+        resolved = "full" if detect_cost_sorted(docs) else "heavy"
+    if resolved == "full":
+        staged = salted_repartition(docs, num_partitions)
+    elif resolved == "heavy":
+        staged = heavy_only_salting(docs, num_partitions)
+    elif resolved == "none":
+        staged = docs
+    else:
+        raise ValueError(mode)
+
+    t0 = time.perf_counter()
+    rows = timed_partition_probe(
+        staged.select("doc_id", "spans", *(
+            ["_cost_bytes"] if "_cost_bytes" in staged.columns else []
+        ))
+    ).collect()
+    wall = time.perf_counter() - t0
+    busy = sorted((r["sec"], r["rows"]) for r in rows if r["rows"] > 0)
+    total_rows = sum(n for _s, n in busy)
+    # ROWS-WEIGHTED median task time — "the task time the median document
+    # experiences". An unweighted median is distorted by near-empty
+    # partitions (round-robin heavy slots, small scan splits) that carry
+    # no work and no straggler risk.
+    acc, med = 0, 0.0
+    for s, n in busy:
+        acc += n
+        if acc * 2 >= total_rows:
+            med = s
+            break
+    mx = max((s for s, _n in busy), default=0.0)
+    return {
+        "mode": mode,
+        "resolved": resolved,
+        "tasks": len(busy),
+        "max_over_median": round(mx / med, 2) if med else None,
+        "task_max_sec": round(mx, 3),
+        "task_median_sec": round(med, 3),
+        "wall_sec": round(wall, 3),
+        "n_docs": int(total_rows),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs", type=int, default=40_000)
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--modes", nargs="+", default=["auto", "full", "heavy"])
+    ap.add_argument("--layouts", nargs="+", default=["sorted", "mixed"])
+    args = ap.parse_args()
+
+    from bench import ensure_corpus  # bench.py's generator-hash-keyed cache
+
+    from docling_pdf_spark.pipeline import with_cost
+    from docling_pdf_spark.session import get_spark
+
+    spark = get_spark("skew-bench", local_cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    corpus_path = ensure_corpus(
+        os.path.join(repo, ".bench", f"corpus_{args.docs}.parquet"), args.docs
+    )
+    base = spark.read.parquet(corpus_path)
+
+    tmp = os.path.join(repo, ".bench", "skew_layouts")
+    for layout in args.layouts:
+        path = os.path.join(tmp, f"{layout}_{args.docs}_{args.cores}")
+        if not os.path.exists(path):
+            if layout == "sorted":
+                # global orderBy → range-partitioned output: every file
+                # covers one cost band, so scan splits inherit the full
+                # cost gradient (the adversarial layout)
+                df = with_cost(base).orderBy("_cost_bytes").drop("_cost_bytes")
+            else:
+                # hash-mixed across many files: the well-mixed layout
+                # heavy-only salting is designed for
+                df = base.repartition(args.cores * 2, "doc_id")
+            df.write.mode("overwrite").parquet(path)
+        docs = spark.read.parquet(path)
+        for mode in args.modes:
+            rep = run_mode(spark, docs, mode, num_partitions=args.cores * 3)
+            rep["layout"] = layout
+            print(json.dumps(rep))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

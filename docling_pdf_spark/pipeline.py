@@ -109,6 +109,67 @@ def _chunked_extract_arrow(
             yield extract_arrow_batch(batch.slice(start, n - start))
 
 
+CLUSTER_CV_THRESHOLD = 0.25
+DETECT_SAMPLE_FRACTION = 0.01
+
+
+def detect_cost_sorted(
+    df: DataFrame,
+    sample_fraction: float = DETECT_SAMPLE_FRACTION,
+    threshold: float = CLUSTER_CV_THRESHOLD,
+) -> bool:
+    """Is per-doc cost CLUSTERED by scan split? Heavy-only salting
+    degrades to a 24× max/median straggler tail on cost-sorted layouts
+    (BENCH/BASELINE.md skew table): the giants spread fine, but scan
+    splits packed with just-below-threshold docs stay hot. This probe
+    lets salt_mode='auto' pick 'full' exactly there.
+
+    Mechanism: group a sampled scan by spark_partition_id — the ACTUAL
+    split assignment the UDF stage will inherit (a global-order
+    correlation would be fooled by the scan's size-descending file
+    bin-packing, which reorders files while leaving each split
+    internally cost-homogeneous — the pathology is split COMPOSITION,
+    not split order). Verdict: coefficient of variation of the
+    per-split mean cost, over the LIGHT cohort only (the heavy cohort
+    is round-robin-scattered in every mode, so it can't cause this
+    tail). Well-mixed layouts have near-equal split means (CV ≈ 0);
+    sorted/clustered layouts spread the means across the whole cost
+    distribution (CV ≈ the cost CV, far above threshold).
+
+    One narrow pass, no shuffle, tiny agg; at 100 TB this extra scan is
+    far cheaper than either mistake it prevents (a 100 TB full shuffle,
+    or the straggler tail)."""
+    light = with_cost(df).where(
+        F.col("_cost_bytes") < OVERSIZE_COST_BUCKET_BYTES
+    )
+    probe = light.select(F.spark_partition_id().alias("_pid"), "_cost_bytes")
+
+    def _cv(p) -> tuple[int, float | None]:
+        per = p.groupBy("_pid").agg(
+            F.avg("_cost_bytes").alias("m"), F.count("*").alias("n")
+        )
+        row = per.agg(
+            F.count("*").alias("k"),
+            F.sum("n").alias("rows"),
+            (F.sum(F.col("m") * F.col("n")) / F.sum("n")).alias("mean"),
+            F.sqrt(
+                F.sum(F.col("m") * F.col("m") * F.col("n")) / F.sum("n")
+                - F.pow(F.sum(F.col("m") * F.col("n")) / F.sum("n"), 2)
+            ).alias("std_of_means"),
+        ).head()
+        if not row or not row["k"] or row["k"] < 2 or not row["mean"]:
+            return (int(row["rows"] or 0) if row else 0, None)
+        return int(row["rows"]), float(row["std_of_means"] or 0.0) / float(row["mean"])
+
+    if sample_fraction < 1.0:
+        n, cv = _cv(probe.sample(fraction=sample_fraction, seed=20250816))
+        if n < 100:  # tiny input: the sample is noise — probe it whole
+            n, cv = _cv(probe)
+    else:
+        n, cv = _cv(probe)
+    return cv is not None and cv >= threshold
+
+
 def heavy_only_salting(df: DataFrame, num_partitions: int) -> DataFrame:
     """Skew taming without shuffling the world (the 100 TB-correct
     variant): only the oversized cohort (~0.5% of docs, but the entire
@@ -131,16 +192,23 @@ def heavy_only_salting(df: DataFrame, num_partitions: int) -> DataFrame:
 def extract(
     df: DataFrame,
     num_partitions: int | None = None,
-    salt_mode: str = "heavy",
+    salt_mode: str = "auto",
 ) -> DataFrame:
     """documents → documents_extracted as a lazy DataFrame transform.
 
     salt_mode:
-      'heavy' (default) — shuffle only the oversized cohort (above);
+      'auto' (default)  — probe the layout once (detect_cost_sorted) and
+                          pick 'full' for cost-sorted inputs, 'heavy'
+                          otherwise; closes the documented heavy-only
+                          24× footgun without manual mode selection
+                          (costs one sampled probe job up front);
+      'heavy'           — shuffle only the oversized cohort (above);
       'full'            — shuffle everything on the uniform salt (for
                           adversarially cost-sorted inputs);
       'none'            — trust the input partitioning."""
     if num_partitions:
+        if salt_mode == "auto":
+            salt_mode = "full" if detect_cost_sorted(df) else "heavy"
         if salt_mode == "full":
             df = salted_repartition(df, num_partitions)
         elif salt_mode == "heavy":
@@ -168,7 +236,7 @@ def run_extraction(
     buckets_per_commit: int | None = None,
     input_snapshot: str | None = None,
     fail_after_commits: int | None = None,
-    salt_mode: str = "heavy",
+    salt_mode: str = "auto",
 ) -> ProgressLog:
     """Checkpointed batch extraction with per-bucket resume.
 
@@ -208,6 +276,10 @@ def run_extraction(
     pending = [b for b in range(n_buckets) if b not in done]
     if not pending:
         return log
+    # resolve 'auto' ONCE for the whole job (the layout doesn't change
+    # between commit groups; per-group probes would be redundant jobs)
+    if salt_mode == "auto" and num_partitions:
+        salt_mode = "full" if detect_cost_sorted(docs) else "heavy"
 
     # real lineage token (Iceberg snapshot id in catalog mode; file
     # fingerprint in the parquet fallback) — resume detects when the
@@ -232,9 +304,12 @@ def run_extraction(
 
         idempotent_partition_overwrite(out, ["bucket"], output_path)
 
-        # metrics from the committed output (no recompute of the UDF stage)
+        # metrics from the committed output (no recompute of the UDF
+        # stage). Explicit schema: an all-empty commit group leaves no
+        # parquet files to infer from, and the completeness guard below
+        # (not a schema-inference crash) must be what reports that.
         stats = (
-            spark.read.parquet(output_path)
+            spark.read.schema(out.schema).parquet(output_path)
             .where(F.col("bucket").isin([int(b) for b in group]))
             .groupBy("bucket")
             .agg(
@@ -248,10 +323,25 @@ def run_extraction(
         )
         finished = _utcnow_iso(spark)
         by_bucket = {r["bucket"]: r for r in stats}
+        # completeness guard (reference main.py:232-236 analog: a task
+        # marked completed with no result is a 500, not a success): a
+        # bucket whose input slice is non-empty must never be committed
+        # 'done' with zero output rows — that would make resume skip it
+        # forever. doc_id-only count, so the probe scan is column-pruned.
+        in_counts = {
+            r["bucket"]: int(r["n"])
+            for r in sub.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
         for b in group:
             r = by_bucket.get(b)
             n_docs = int(r["n_docs"]) if r else 0
             n_ok = int(r["n_ok"]) if r else 0
+            if n_docs == 0 and in_counts.get(b, 0) > 0:
+                raise RuntimeError(
+                    f"bucket {b}: output is empty but its input slice has "
+                    f"{in_counts[b]} docs — refusing to commit 'done' "
+                    "(completeness guard); the bucket stays pending for resume"
+                )
             log.commit(
                 BucketManifest(
                     partition_id=int(b),

@@ -35,10 +35,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets-per-commit", type=int, default=None)
     ap.add_argument("--local-cores", type=int, default=None,
                     help="force local[N] master (omit on a real cluster)")
-    ap.add_argument("--salt-mode", choices=("heavy", "full", "none"), default="heavy",
-                    help="skew taming: heavy=shuffle only oversized docs "
-                         "(default), full=uniform salt shuffle (cost-sorted "
-                         "layouts), none=trust input partitioning")
+    ap.add_argument("--salt-mode", choices=("auto", "heavy", "full", "none"),
+                    default="auto",
+                    help="skew taming: auto=probe the layout and pick full "
+                         "for cost-sorted inputs, heavy otherwise (default); "
+                         "heavy=shuffle only oversized docs; full=uniform "
+                         "salt shuffle; none=trust input partitioning")
     ap.add_argument("--gen-docs", type=int, default=None,
                     help="synthesize a deterministic corpus at --input first")
     args = ap.parse_args(argv)

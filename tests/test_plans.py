@@ -171,3 +171,51 @@ def test_extraction_plan_shape(spark):
     heavy = formatted_plan(extract(spans_docs, num_partitions=8, salt_mode="heavy"))
     assert heavy.count("MapInArrow") == 2  # still one Python stage
     assert "Union" in heavy  # light passthrough ∪ shuffled heavy cohort
+
+
+def test_auto_salt_mode_selection(spark):
+    """salt_mode='auto' (the default) closes the documented heavy-only
+    24× footgun: an unsorted layout keeps the heavy-only plan (light
+    branch stays shuffle-free), a cost-sorted layout switches to the
+    full uniform salt."""
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.pipeline import detect_cost_sorted, extract
+    from docling_pdf_spark.plans import formatted_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    spans_docs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"), F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    # explicit range partitioning (AQE would coalesce a tiny orderBy to
+    # one partition, hiding the clustering from the per-split probe):
+    # 8 partitions, each one cost band — the adversarial layout
+    sorted_docs = (
+        spans_docs.withColumn("_len", F.length(F.col("spans")[0]["text"]))
+        .repartitionByRange(8, "_len")
+        .drop("_len")
+    )
+
+    # the probe itself (full-probe fallback makes small inputs exact)
+    assert not detect_cost_sorted(spans_docs)
+    assert detect_cost_sorted(sorted_docs)
+
+    # auto == heavy on the unsorted layout: light branch shuffle-free
+    auto_plan = formatted_plan(extract(spans_docs, num_partitions=8))
+    heavy_plan = formatted_plan(
+        extract(spans_docs, num_partitions=8, salt_mode="heavy")
+    )
+    assert "Union" in auto_plan
+    assert auto_plan.count("Exchange") == heavy_plan.count("Exchange")
+
+    # auto == full on the cost-sorted layout: everything is salted
+    auto_sorted = formatted_plan(extract(sorted_docs, num_partitions=8))
+    assert "Union" not in auto_sorted  # no heavy/light split
+    assert "_salt" in auto_sorted  # uniform salt repartition present

@@ -100,6 +100,33 @@ def test_noop_when_all_buckets_done(spark, corpus, tmp_path):
     assert before == after
 
 
+def test_completeness_guard_rejects_empty_bucket(spark, corpus, tmp_path, monkeypatch):
+    """Reference main.py:232-236 analog (completed task with no result
+    → 500): a bucket whose input slice is non-empty must never be
+    committed 'done' with zero output rows — inject an extractor that
+    silently drops everything and assert the commit refuses."""
+    import docling_pdf_spark.pipeline as pl
+
+    real_extract = pl.extract
+
+    def dropping_extract(df, num_partitions=None, salt_mode="auto"):
+        out = real_extract(df, num_partitions=num_partitions, salt_mode=salt_mode)
+        return out.where("1 = 0")  # simulate a swallowed-output bug
+
+    monkeypatch.setattr(pl, "extract", dropping_extract)
+    out = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(RuntimeError, match="completeness guard"):
+        run_extraction(spark, corpus, out, ckpt, n_buckets=4)
+    # nothing was marked done: resume will reprocess every bucket
+    assert ProgressLog(ckpt).done_buckets() == set()
+
+    # and the real pipeline completes the same job untouched
+    monkeypatch.setattr(pl, "extract", real_extract)
+    run_extraction(spark, corpus, out, ckpt, n_buckets=4)
+    assert ProgressLog(ckpt).done_buckets() == {0, 1, 2, 3}
+
+
 def test_lineage_guard_rejects_changed_input(spark, corpus, tmp_path):
     """A completed bucket from a different input snapshot must abort the
     resume instead of silently stitching two inputs together."""
