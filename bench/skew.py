@@ -56,7 +56,13 @@ def run_mode(spark, docs, mode: str, num_partitions: int):
 
     resolved = mode
     if mode == "auto":
-        resolved = "full" if detect_cost_sorted(docs) else "heavy"
+        resolved = (
+            "full"
+            if detect_cost_sorted(
+                docs, min_effective_splits=max(2, num_partitions // 4)
+            )
+            else "heavy"
+        )
     if resolved == "full":
         staged = salted_repartition(docs, num_partitions)
     elif resolved == "heavy":
@@ -122,13 +128,27 @@ def main() -> int:
 
     tmp = os.path.join(repo, ".bench", "skew_layouts")
     for layout in args.layouts:
-        path = os.path.join(tmp, f"{layout}_{args.docs}_{args.cores}")
+        # cache key includes the corpus filename, which itself embeds the
+        # fixtures generator hash — a regenerated corpus must invalidate
+        # the derived layouts too (review-found staleness)
+        corpus_tag = os.path.splitext(os.path.basename(corpus_path))[0]
+        path = os.path.join(tmp, f"{layout}_{corpus_tag}_{args.cores}")
         if not os.path.exists(path):
             if layout == "sorted":
                 # global orderBy → range-partitioned output: every file
                 # covers one cost band, so scan splits inherit the full
                 # cost gradient (the adversarial layout)
                 df = with_cost(base).orderBy("_cost_bytes").drop("_cost_bytes")
+            elif layout == "sorted1file":
+                # the round-1 24× measurement's layout: ONE globally
+                # sorted file, scan splits = byte ranges of it — the
+                # harshest cost clustering a scan can inherit
+                df = (
+                    with_cost(base)
+                    .orderBy("_cost_bytes")
+                    .drop("_cost_bytes")
+                    .coalesce(1)
+                )
             else:
                 # hash-mixed across many files: the well-mixed layout
                 # heavy-only salting is designed for

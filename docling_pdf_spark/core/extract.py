@@ -114,7 +114,6 @@ def _extract_pdf_payload(
     text_blocks: list[str],
     images: list[tuple[str | None, str]],
     warnings: list[str],
-    producers: list[str],
     metadatas: list[dict],
 ) -> str:
     """Run the admission gates + parse ladder on one pdf span.
@@ -133,10 +132,8 @@ def _extract_pdf_payload(
         raise _AdmissionError("invalid_pdf_magic")
 
     parsed = parse_ladder(data)
-    if parsed.producer:
-        producers.append(parsed.producer)
-    if parsed.metadata:  # full Info dict (pdf_extractor.py:596)
-        metadatas.append(parsed.metadata)
+    if parsed.metadata:  # full Info dict (pdf_extractor.py:596);
+        metadatas.append(parsed.metadata)  # Producer rides inside it
     if parsed.encrypted:  # pdf_extractor.py:131-132, 594
         warnings.append("encrypted")
     if parsed.needs_password:  # pdf_extractor.py:591-612 distinct flag
@@ -190,8 +187,9 @@ def _extract_document(doc_id: str, spans: Any) -> dict:
     images: list[tuple[str | None, str]] = []  # (media_ref, description)
     media_links: list[tuple[str | None, str, int]] = []  # (ref, caption, block idx)
     warnings: list[str] = []
-    producers: list[str] = []  # X4 metadata sniff (pdf_extractor.py:139-148)
-    metadatas: list[dict] = []  # full Info dicts (pdf_extractor.py:596)
+    # X4 metadata sniff (pdf_extractor.py:139-148, :596): full Info
+    # dicts; the producer column derives from the first-seen dict
+    metadatas: list[dict] = []
     rung_rank = RUNG_ORDER.index(RUNG_NATIVE)
 
     span_list = list(spans) if spans is not None else []
@@ -232,7 +230,7 @@ def _extract_document(doc_id: str, spans: Any) -> dict:
                     images.append((blk.media_ref, blk.text))
         elif kind == "pdf":
             rung = _extract_pdf_payload(
-                text, text_blocks, images, warnings, producers, metadatas
+                text, text_blocks, images, warnings, metadatas
             )
             rung_rank = max(rung_rank, RUNG_ORDER.index(rung))
         elif kind == "media":
@@ -271,10 +269,12 @@ def _extract_document(doc_id: str, spans: Any) -> dict:
         "n_words": len(full_text.split()),  # pdf_extractor.py:456
         "has_tables": bool(tables),  # pdf_extractor.py:342
         "has_images": bool(images),  # pdf_extractor.py:343
-        # first-seen producer / Info dict (reference sniffs one PDF per
-        # task, pdf_extractor.py:139-148, :596; interleaved docs may
-        # carry several — first-seen wins for both, consistently)
-        "producer": producers[0] if producers else None,
+        # first-seen Info dict (reference sniffs one PDF per task,
+        # pdf_extractor.py:139-148, :596; interleaved docs may carry
+        # several). producer is COUPLED to that same dict — deriving it
+        # from a later PDF's Info would make the two columns describe
+        # different documents (review-found inconsistency)
+        "producer": metadatas[0].get("Producer") if metadatas else None,
         "metadata": metadatas[0] if metadatas else None,
         "warning": ";".join(uniq) if uniq else None,
         "error": None,

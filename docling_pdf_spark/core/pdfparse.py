@@ -77,16 +77,26 @@ class ParsedPdf:
 
 _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
-# the block body consumes literal strings ATOMICALLY ( \(...\) with
-# escapes ) so a page text containing the bare token 'ET' cannot
-# terminate the BT...ET scan early (hypothesis-found: texts=['ET'])
-_BT_RE = re.compile(rb"BT\b((?:\((?:\\.|[^\\()])*\)|[^(])*?)\bET", re.S)
+# PDF literal-string BODY, bounded nesting: ISO 32000-1 §7.3.4.2 allows
+# BALANCED unescaped parentheses inside a literal string, so the body
+# pattern admits nested (...) groups down to depth 2 (regexes can't
+# recurse; depth >2 in page text is exotic — typical producers escape
+# parens — and degrades to the old truncation, never a crash). Kept in
+# regex (C speed) because _text_boxes is the UDF hot path.
+_LIT0 = rb"(?:\\.|[^\\()])*"
+_LIT1 = rb"(?:\\.|\(" + _LIT0 + rb"\)|[^\\()])*"
+_LITBODY = rb"(?:\\.|\(" + _LIT1 + rb"\)|[^\\()])*"
+# the block body consumes literal strings ATOMICALLY so a page text
+# containing the bare token 'ET' (hypothesis-found) or nested parens
+# (review-found: '(a(b)c)' dropped the whole block) cannot terminate
+# the BT...ET scan early or stop the string match short
+_BT_RE = re.compile(rb"BT\b((?:\(" + _LITBODY + rb"\)|[^(])*?)\bET", re.S)
 _TD_RE = re.compile(rb"([-\d.]+)\s+([-\d.]+)\s+Td")
-_TJ_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*Tj")
+_TJ_RE = re.compile(rb"\((" + _LITBODY + rb")\)\s*Tj")
 _DO_RE = re.compile(rb"/\w+\s+Do\b")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[([^\]]*)\]")
-_LITSTR_RE = re.compile(rb"\(((?:\\.|[^\\()]){2,})\)")
+_LITSTR_RE = re.compile(rb"\(((?:\\.|\(" + _LIT1 + rb"\)|[^\\()]){2,})\)")
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -217,8 +227,22 @@ def info_dict(data: bytes) -> dict[str, str]:
     if data.find(b"/Info") < 0:
         return {}
     trailer_at = data.rfind(b"trailer")
-    scope_for_ref = data[trailer_at:] if trailer_at >= 0 else data
-    ref = _INFO_REF_RE.search(scope_for_ref)
+    if trailer_at >= 0:
+        ref = _INFO_REF_RE.search(data[trailer_at:])
+    else:
+        # xref-stream PDF (no 'trailer' keyword): the trailer entries
+        # live in the /Type /XRef stream object's dictionary — scope the
+        # /Info lookup to the LAST such object body. Scanning the whole
+        # byte stream here would reintroduce the page-text
+        # false-positive class this function exists to eliminate
+        # (review-found).
+        ref = None
+        for m_obj in _OBJ_RE.finditer(data):
+            body = m_obj.group(2)
+            if re.search(rb"/Type\s*/XRef\b", body):
+                r = _INFO_REF_RE.search(body)
+                if r is not None:
+                    ref = r  # incremental updates append: last wins
     if ref is None:
         return {}
     obj_re = re.compile(
@@ -245,7 +269,7 @@ def sniff_producer(data: bytes) -> str | None:
 
 _OP_RE = re.compile(
     rb"([-\d.]+)\s+([-\d.]+)\s+Td"           # position op
-    rb"|\(((?:\\.|[^\\()])*)\)\s*Tj"         # show-text op
+    rb"|\((" + _LITBODY + rb")\)\s*Tj"       # show-text op (nesting-aware)
 )
 
 

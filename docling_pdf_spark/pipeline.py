@@ -117,6 +117,7 @@ def detect_cost_sorted(
     df: DataFrame,
     sample_fraction: float = DETECT_SAMPLE_FRACTION,
     threshold: float = CLUSTER_CV_THRESHOLD,
+    min_effective_splits: int | None = None,
 ) -> bool:
     """Is per-doc cost CLUSTERED by scan split? Heavy-only salting
     degrades to a 24× max/median straggler tail on cost-sorted layouts
@@ -136,37 +137,77 @@ def detect_cost_sorted(
     sorted/clustered layouts spread the means across the whole cost
     distribution (CV ≈ the cost CV, far above threshold).
 
+    A second, independent trigger (min_effective_splits): the light
+    branch inherits the scan partitioning, so if the light cohort's
+    rows concentrate in too few splits — effective parallelism
+    N²/Σn_i², the inverse Simpson index — heavy-only serializes the
+    whole light corpus regardless of cost ORDER. (Found by the skew
+    harness: a single-row-group sorted file put >50% of the docs in one
+    42 s task while the clustering CV was 0, because with one effective
+    split there IS no between-split variance.) extract() passes
+    num_partitions/4; None skips the check.
+
     One narrow pass, no shuffle, tiny agg; at 100 TB this extra scan is
     far cheaper than either mistake it prevents (a 100 TB full shuffle,
     or the straggler tail)."""
     light = with_cost(df).where(
         F.col("_cost_bytes") < OVERSIZE_COST_BUCKET_BYTES
     )
-    probe = light.select(F.spark_partition_id().alias("_pid"), "_cost_bytes")
+    probe = light.select(
+        F.spark_partition_id().alias("_pid"),
+        F.col("_cost_bytes").cast("double").alias("_c"),
+    )
 
-    def _cv(p) -> tuple[int, float | None]:
+    def _cv(p) -> tuple[int, float | None, float | None]:
+        """Sampling-noise-corrected CV of per-split means (random-effects
+        ANOVA): under a well-mixed layout the sampled split means still
+        scatter by ≈ doc_var/n_i pure sampling error — with few sampled
+        docs per split that alone can cross any fixed threshold
+        (review-found). Subtract the expected sampling variance
+        E[Var(m_i)] = doc_var·k/N from the observed between-split
+        variance before taking the CV, so only REAL cost clustering
+        remains."""
         per = p.groupBy("_pid").agg(
-            F.avg("_cost_bytes").alias("m"), F.count("*").alias("n")
+            F.count("*").alias("n"),
+            F.sum("_c").alias("s1"),
+            F.sum(F.col("_c") * F.col("_c")).alias("s2"),
         )
         row = per.agg(
             F.count("*").alias("k"),
             F.sum("n").alias("rows"),
-            (F.sum(F.col("m") * F.col("n")) / F.sum("n")).alias("mean"),
-            F.sqrt(
-                F.sum(F.col("m") * F.col("m") * F.col("n")) / F.sum("n")
-                - F.pow(F.sum(F.col("m") * F.col("n")) / F.sum("n"), 2)
-            ).alias("std_of_means"),
+            F.sum("s1").alias("t1"),
+            F.sum("s2").alias("t2"),
+            F.sum(F.col("s1") * F.col("s1") / F.col("n")).alias("wms"),
+            F.sum(F.col("n") * F.col("n")).alias("nsq"),
         ).head()
-        if not row or not row["k"] or row["k"] < 2 or not row["mean"]:
-            return (int(row["rows"] or 0) if row else 0, None)
-        return int(row["rows"]), float(row["std_of_means"] or 0.0) / float(row["mean"])
+        if not row or not row["k"] or not row["rows"]:
+            return 0, None, None
+        n_tot = float(row["rows"])
+        eff = n_tot * n_tot / float(row["nsq"])  # inverse Simpson
+        if row["k"] < 2 or not row["t1"]:
+            return int(row["rows"]), None, eff
+        k = float(row["k"])
+        mean = float(row["t1"]) / n_tot
+        if mean <= 0:
+            return int(row["rows"]), None, eff
+        doc_var = max(0.0, float(row["t2"]) / n_tot - mean * mean)
+        # weighted between-split variance: Σ n_i (m_i − mean)² / N
+        var_between = max(0.0, float(row["wms"]) / n_tot - mean * mean)
+        adjusted = max(0.0, var_between - doc_var * k / n_tot)
+        return int(row["rows"]), (adjusted ** 0.5) / mean, eff
 
     if sample_fraction < 1.0:
-        n, cv = _cv(probe.sample(fraction=sample_fraction, seed=20250816))
+        n, cv, eff = _cv(probe.sample(fraction=sample_fraction, seed=20250816))
         if n < 100:  # tiny input: the sample is noise — probe it whole
-            n, cv = _cv(probe)
+            n, cv, eff = _cv(probe)
     else:
-        n, cv = _cv(probe)
+        n, cv, eff = _cv(probe)
+    if (
+        min_effective_splits is not None
+        and eff is not None
+        and eff < min_effective_splits
+    ):
+        return True  # light branch would serialize: full salt regardless
     return cv is not None and cv >= threshold
 
 
@@ -194,21 +235,34 @@ def extract(
     num_partitions: int | None = None,
     salt_mode: str = "auto",
 ) -> DataFrame:
-    """documents → documents_extracted as a lazy DataFrame transform.
+    """documents → documents_extracted as a DataFrame transform.
+
+    Laziness caveat: with salt_mode='auto' (the default) THIS CALL runs
+    1–2 small eager probe jobs (the sampled layout scan) before
+    returning; every other mode is fully lazy. Callers composing plans
+    without wanting execution — or calling extract() repeatedly on the
+    same input — should pass an explicit mode ('heavy'/'full'/'none')
+    or resolve 'auto' once themselves via detect_cost_sorted (what
+    run_extraction does across its commit groups).
 
     salt_mode:
-      'auto' (default)  — probe the layout once (detect_cost_sorted) and
+      'auto' (default)  — probe the layout (detect_cost_sorted) and
                           pick 'full' for cost-sorted inputs, 'heavy'
                           otherwise; closes the documented heavy-only
-                          24× footgun without manual mode selection
-                          (costs one sampled probe job up front);
+                          24× footgun without manual mode selection;
       'heavy'           — shuffle only the oversized cohort (above);
       'full'            — shuffle everything on the uniform salt (for
                           adversarially cost-sorted inputs);
       'none'            — trust the input partitioning."""
     if num_partitions:
         if salt_mode == "auto":
-            salt_mode = "full" if detect_cost_sorted(df) else "heavy"
+            salt_mode = (
+                "full"
+                if detect_cost_sorted(
+                    df, min_effective_splits=max(2, num_partitions // 4)
+                )
+                else "heavy"
+            )
         if salt_mode == "full":
             df = salted_repartition(df, num_partitions)
         elif salt_mode == "heavy":
@@ -279,7 +333,13 @@ def run_extraction(
     # resolve 'auto' ONCE for the whole job (the layout doesn't change
     # between commit groups; per-group probes would be redundant jobs)
     if salt_mode == "auto" and num_partitions:
-        salt_mode = "full" if detect_cost_sorted(docs) else "heavy"
+        salt_mode = (
+            "full"
+            if detect_cost_sorted(
+                docs, min_effective_splits=max(2, num_partitions // 4)
+            )
+            else "heavy"
+        )
 
     # real lineage token (Iceberg snapshot id in catalog mode; file
     # fingerprint in the parquet fallback) — resume detects when the

@@ -192,6 +192,25 @@ def test_metadata_map_roundtrip():
     assert plain["metadata"] is None
 
 
+def test_producer_coupled_to_first_metadata_dict():
+    """Multi-PDF interleaved doc: producer must describe the SAME Info
+    dict as the metadata column (review-found: deriving producer from a
+    later PDF while metadata came from an earlier one made the two
+    columns describe different documents)."""
+    pdf_title_only = pdf64(
+        [PageSpec(texts=[(0, 700.0, "one")])], info={"Title": "T"}
+    )
+    pdf_with_producer = pdf64(
+        [PageSpec(texts=[(0, 700.0, "two")])], producer="late-writer"
+    )
+    row = extract_document(
+        "d",
+        [sp("pdf", pdf_title_only, offset=0), sp("pdf", pdf_with_producer, offset=1)],
+    )
+    assert row["metadata"] == {"Title": "T"}
+    assert row["producer"] is None  # the first-seen dict has no Producer
+
+
 def test_oversize_is_error_row(monkeypatch):
     import docling_pdf_spark.core.extract as ex
 

@@ -191,3 +191,37 @@ def test_strict_roundtrip_property():
             )
 
     check()
+
+
+def test_nested_balanced_parens_in_literal_string():
+    """ISO 32000-1 §7.3.4.2: balanced unescaped parens are legal inside a
+    literal string. Review-found: the block regex dropped the ENTIRE
+    BT..ET block on '(a(b)c)'; now both the block scan and the Tj match
+    consume nested strings (depth ≤2) atomically."""
+    pdf = make_pdf([_page((72, 700, "aXbYc"), (72, 630, "other text"))])
+    nested = pdf.replace(b"(aXbYc)", b"(a(b)c)")
+    parsed = parse_strict(nested)
+    assert parsed.pages[0].reading_order_text() == "a(b)c\nother text"
+    # depth 2 also survives
+    deep = pdf.replace(b"(aXbYc)", b"(a(b(c))d)")
+    assert parse_strict(deep).pages[0].reading_order_text() == "a(b(c))d\nother text"
+
+
+def test_info_lookup_scoped_for_xref_stream_pdfs():
+    """Review-found: a trailer-less (xref-stream) PDF whose page TEXT
+    mentions '/Info N G R' must not have that mention resolved as
+    document metadata; only a /Type /XRef object dictionary counts."""
+    from docling_pdf_spark.core.pdfparse import info_dict
+
+    pdf = make_pdf([_page((72, 700, "see /Info 1 0 R here"), (72, 630, "x"))])
+    # strip the trailer keyword so the xref-stream path is exercised;
+    # object 1 exists (the font), so a whole-stream scan WOULD resolve it
+    no_trailer = pdf.replace(b"trailer", b"trailXX")
+    assert info_dict(no_trailer) == {}
+
+    # a genuine XRef object dict carrying /Info IS honored
+    with_xref = no_trailer + (
+        b"9 0 obj\n<< /Type /XRef /Size 10 /Info 8 0 R >>\nendobj\n"
+        b"8 0 obj\n<< /Producer (xref-writer) >>\nendobj\n"
+    )
+    assert info_dict(with_xref) == {"Producer": "xref-writer"}

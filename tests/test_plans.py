@@ -202,15 +202,20 @@ def test_auto_salt_mode_selection(spark):
         .repartitionByRange(8, "_len")
         .drop("_len")
     )
+    # well-mixed layout with adequate parallelism (hash-spread splits)
+    mixed_docs = spans_docs.repartition(8, "doc_id")
 
     # the probe itself (full-probe fallback makes small inputs exact)
-    assert not detect_cost_sorted(spans_docs)
+    assert not detect_cost_sorted(mixed_docs)
     assert detect_cost_sorted(sorted_docs)
+    # parallelism guard: a single-split light branch must trigger full
+    # salt even with zero cost clustering (the sorted1file 42s-task case)
+    assert detect_cost_sorted(spans_docs, min_effective_splits=2)
 
-    # auto == heavy on the unsorted layout: light branch shuffle-free
-    auto_plan = formatted_plan(extract(spans_docs, num_partitions=8))
+    # auto == heavy on the mixed layout: light branch shuffle-free
+    auto_plan = formatted_plan(extract(mixed_docs, num_partitions=8))
     heavy_plan = formatted_plan(
-        extract(spans_docs, num_partitions=8, salt_mode="heavy")
+        extract(mixed_docs, num_partitions=8, salt_mode="heavy")
     )
     assert "Union" in auto_plan
     assert auto_plan.count("Exchange") == heavy_plan.count("Exchange")
