@@ -54,6 +54,50 @@ def test_curate_funnel_drops_each_planted_offender(spark, tmp_path):
     assert kept == {"exact-dup", "keep-2"}
 
 
+def test_curate_high_dup_corpus_no_forced_broadcast(spark, tmp_path):
+    """r2 ADVICE/VERDICT #5 done-criterion: at crawl-realistic near-dup
+    rates (~40% here) the drop list is O(duplicate docs) — the funnel
+    must still work AND the anti-join side must not be force-broadcast
+    (AQE chooses the strategy from measured sizes; at 100 TB a forced
+    broadcast of a TB-scale drop list OOMs the driver)."""
+    import re
+
+    from jobs.curate import curate
+
+    # pairwise-disjoint vocabularies so ONLY the planted pairs are near;
+    # ids letter-encoded (digit tokens would trip the digit-ratio gate)
+    def L(n: int) -> str:
+        return "".join("abcdefghij"[int(d)] for d in str(n))
+
+    def text(i: int) -> str:
+        return " ".join(f"w{L(i)}word{L(j)}" for j in range(40))
+
+    rows = [_doc(f"base-{i:03d}", text(i)) for i in range(30)]
+    # 20 near-dups of the first 20 docs (one-word edit) → 40% dup rate
+    rows += [
+        _doc(f"ndup-{i:03d}", text(i).replace(f"w{L(i)}word{L(20)}", "changed"))
+        for i in range(20)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_PA), src)
+    out = str(tmp_path / "curated")
+
+    funnel = curate(spark, src, out, min_chars=80, jaccard=0.5)
+    assert funnel["dropped_near_dups"] == 20  # every planted pair collapsed
+    assert funnel["n_curated"] == 30
+
+    # no broadcast HINT anywhere in jobs/curate.py's near-dup drop path
+    # (the repo-wide invariant: no unconditional F.broadcast of an
+    # unbounded-cardinality side; grep the source, not the plan — AQE
+    # may legitimately CHOOSE broadcast for this small test corpus)
+    import inspect
+
+    import jobs.curate as jc
+
+    src_text = inspect.getsource(jc.curate)
+    assert not re.search(r"F\.broadcast\(\s*drop", src_text)
+
+
 def test_curate_winnow_mode_catches_the_near_dup(spark, tmp_path):
     """The winnow near-dup mode drops the same planted near-dup (its
     shared passages guarantee shared fingerprints)."""
