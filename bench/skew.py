@@ -127,11 +127,18 @@ def main() -> int:
     base = spark.read.parquet(corpus_path)
 
     tmp = os.path.join(repo, ".bench", "skew_layouts")
+    # cache key includes the corpus filename, which itself embeds the
+    # fixtures generator hash — a regenerated corpus must invalidate the
+    # derived layouts too; prune dirs from older generations (each is a
+    # multi-MB parquet dir nothing else deletes — second-review finding)
+    corpus_tag = os.path.splitext(os.path.basename(corpus_path))[0]
+    if os.path.isdir(tmp):
+        import shutil
+
+        for d in os.listdir(tmp):
+            if corpus_tag not in d:
+                shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
     for layout in args.layouts:
-        # cache key includes the corpus filename, which itself embeds the
-        # fixtures generator hash — a regenerated corpus must invalidate
-        # the derived layouts too (review-found staleness)
-        corpus_tag = os.path.splitext(os.path.basename(corpus_path))[0]
         path = os.path.join(tmp, f"{layout}_{corpus_tag}_{args.cores}")
         if not os.path.exists(path):
             if layout == "sorted":

@@ -160,10 +160,14 @@ def _unescape_bytes(raw: bytes) -> bytes:
     return bytes(out)
 
 
-_U_RE = re.compile(rb"/U\s*\(((?:\\.|[^\\()])*)\)")
+# these string bodies use the same nesting-aware _LITBODY as the text
+# ops (defined above): an Info value like '(Acme (TM) Writer)' or a /U
+# with balanced parens is spec-legal (ISO 32000-1 §7.3.4.2) — a flat
+# body would silently drop the entry (second-review finding)
+_U_RE = re.compile(rb"/U\s*\((" + _LITBODY + rb")\)")
 _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
 _INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+(\d+)\s+R")
-_INFO_ENTRY_RE = re.compile(rb"/(\w+)\s*\(((?:\\.|[^\\()])*)\)")
+_INFO_ENTRY_RE = re.compile(rb"/(\w+)\s*\((" + _LITBODY + rb")\)")
 
 
 def encryption_flags(data: bytes) -> tuple[bool, bool]:
@@ -238,9 +242,14 @@ def info_dict(data: bytes) -> dict[str, str]:
         # (review-found).
         ref = None
         for m_obj in _OBJ_RE.finditer(data):
-            body = m_obj.group(2)
-            if re.search(rb"/Type\s*/XRef\b", body):
-                r = _INFO_REF_RE.search(body)
+            # only the object's DICTIONARY portion counts: a page whose
+            # stream DATA merely mentions '/Type /XRef ... /Info N G R'
+            # (a document about PDF internals) must not be resolved as
+            # metadata (second-review finding). A real XRef stream dict
+            # also carries the mandatory /W array (ISO 32000-1 §7.5.8.2).
+            dict_part = m_obj.group(2).split(b"stream", 1)[0]
+            if re.search(rb"/Type\s*/XRef\b", dict_part) and b"/W" in dict_part:
+                r = _INFO_REF_RE.search(dict_part)
                 if r is not None:
                     ref = r  # incremental updates append: last wins
     if ref is None:
@@ -270,6 +279,10 @@ def sniff_producer(data: bytes) -> str | None:
 _OP_RE = re.compile(
     rb"([-\d.]+)\s+([-\d.]+)\s+Td"           # position op
     rb"|\((" + _LITBODY + rb")\)\s*Tj"       # show-text op (nesting-aware)
+    # any OTHER literal string consumed atomically (no capture): a
+    # string operand of e.g. Tw containing '1 2 Td' must not leak a
+    # phantom position op from inside its body (second-review finding)
+    rb"|\(" + _LITBODY + rb"\)"
 )
 
 
@@ -282,11 +295,12 @@ def _text_boxes(stream: bytes) -> list[tuple[float, float, str]]:
         for m in _OP_RE.finditer(bt.group(1)):
             if m.group(3) is not None:  # Tj
                 boxes.append((x, y, _unescape(m.group(3))))
-            else:  # Td
+            elif m.group(1) is not None:  # Td
                 try:
                     x, y = float(m.group(1)), float(m.group(2))
                 except ValueError:
                     pass
+            # else: a non-Tj literal string, consumed and ignored
     return boxes
 
 

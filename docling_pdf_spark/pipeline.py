@@ -158,7 +158,7 @@ def detect_cost_sorted(
         F.col("_cost_bytes").cast("double").alias("_c"),
     )
 
-    def _cv(p) -> tuple[int, float | None, float | None]:
+    def _cv(p) -> tuple[int, int, float | None, float | None]:
         """Sampling-noise-corrected CV of per-split means (random-effects
         ANOVA): under a well-mixed layout the sampled split means still
         scatter by ≈ doc_var/n_i pure sampling error — with few sampled
@@ -181,27 +181,40 @@ def detect_cost_sorted(
             F.sum(F.col("n") * F.col("n")).alias("nsq"),
         ).head()
         if not row or not row["k"] or not row["rows"]:
-            return 0, None, None
+            return 0, 0, None, None
         n_tot = float(row["rows"])
         eff = n_tot * n_tot / float(row["nsq"])  # inverse Simpson
         if row["k"] < 2 or not row["t1"]:
-            return int(row["rows"]), None, eff
+            return int(row["rows"]), int(row["k"]), None, eff
         k = float(row["k"])
         mean = float(row["t1"]) / n_tot
         if mean <= 0:
-            return int(row["rows"]), None, eff
+            return int(row["rows"]), int(row["k"]), None, eff
         doc_var = max(0.0, float(row["t2"]) / n_tot - mean * mean)
         # weighted between-split variance: Σ n_i (m_i − mean)² / N
         var_between = max(0.0, float(row["wms"]) / n_tot - mean * mean)
         adjusted = max(0.0, var_between - doc_var * k / n_tot)
-        return int(row["rows"]), (adjusted ** 0.5) / mean, eff
+        return int(row["rows"]), int(row["k"]), (adjusted ** 0.5) / mean, eff
 
+    # per-split sample floor (second-review finding): at ~1 sampled doc
+    # per split the between-split variance IS the doc variance and the
+    # ANOVA correction cancels it exactly, blinding the probe on
+    # many-small-file sorted layouts. Escalate the fraction until splits
+    # average >= MIN_DOCS_PER_SPLIT sampled docs (one escalation, capped
+    # at a whole-probe pass).
+    MIN_DOCS_PER_SPLIT = 8
     if sample_fraction < 1.0:
-        n, cv, eff = _cv(probe.sample(fraction=sample_fraction, seed=20250816))
+        n, k, cv, eff = _cv(probe.sample(fraction=sample_fraction, seed=20250816))
         if n < 100:  # tiny input: the sample is noise — probe it whole
-            n, cv, eff = _cv(probe)
+            n, k, cv, eff = _cv(probe)
+        elif k and n / k < MIN_DOCS_PER_SPLIT:
+            boosted = min(1.0, sample_fraction * MIN_DOCS_PER_SPLIT * k / max(n, 1))
+            n, k, cv, eff = _cv(
+                probe if boosted >= 1.0
+                else probe.sample(fraction=boosted, seed=20250816)
+            )
     else:
-        n, cv, eff = _cv(probe)
+        n, k, cv, eff = _cv(probe)
     if (
         min_effective_splits is not None
         and eff is not None

@@ -219,9 +219,44 @@ def test_info_lookup_scoped_for_xref_stream_pdfs():
     no_trailer = pdf.replace(b"trailer", b"trailXX")
     assert info_dict(no_trailer) == {}
 
-    # a genuine XRef object dict carrying /Info IS honored
+    # a genuine XRef object dict carrying /Info IS honored (/W is
+    # mandatory for real XRef streams — the scoping requires it)
     with_xref = no_trailer + (
-        b"9 0 obj\n<< /Type /XRef /Size 10 /Info 8 0 R >>\nendobj\n"
+        b"9 0 obj\n<< /Type /XRef /Size 10 /W [1 2 1] /Info 8 0 R >>\n"
+        b"stream\n\x00\x01\x02\nendstream\nendobj\n"
         b"8 0 obj\n<< /Producer (xref-writer) >>\nendobj\n"
     )
     assert info_dict(with_xref) == {"Producer": "xref-writer"}
+
+    # ...but page STREAM DATA mentioning '/Type /XRef ... /Info N G R'
+    # (a document about PDF internals) must not count: only the object's
+    # dictionary portion, with the mandatory /W, is consulted
+    decoy = no_trailer + (
+        b"9 0 obj\n<< /Length 60 >>\nstream\n"
+        b"the /Type /XRef entry with /W [1 2 1] points /Info 1 0 R here"
+        b"\nendstream\nendobj\n"
+    )
+    assert info_dict(decoy) == {}
+
+
+def test_info_value_with_nested_parens():
+    """A spec-legal Info value like '(Acme (TM) Writer)' must survive:
+    the entry regex shares the nesting-aware string body with the text
+    ops (second-review consistency finding)."""
+    from docling_pdf_spark.core.pdfparse import info_dict
+
+    pdf = make_pdf([_page((72, 700, "x"))], producer="AcmeXTMYWriter")
+    nested = pdf.replace(b"(AcmeXTMYWriter)", b"(Acme (TM) Writer)")
+    assert info_dict(nested) == {"Producer": "Acme (TM) Writer"}
+
+
+def test_string_operand_of_other_ops_never_leaks_td():
+    """A literal string operand of a non-Tj operator containing '1 2 Td'
+    must not reposition the following real text op (second-review
+    finding: phantom Td matched inside the string body)."""
+    pdf = make_pdf([_page((72, 700, "PLACEHOLDER"), (72, 630, "real text"))])
+    # turn the first show-text op into a Tw-like string operand carrying
+    # a fake Td inside; the second op must keep its true (72, 630) box
+    poisoned = pdf.replace(b"(PLACEHOLDER) Tj", b"(1 2 Td) Tw")
+    parsed = parse_strict(poisoned)
+    assert parsed.pages[0].boxes == [(72.0, 630.0, "real text")]

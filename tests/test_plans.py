@@ -224,3 +224,33 @@ def test_auto_salt_mode_selection(spark):
     auto_sorted = formatted_plan(extract(sorted_docs, num_partitions=8))
     assert "Union" not in auto_sorted  # no heavy/light split
     assert "_salt" in auto_sorted  # uniform salt repartition present
+
+
+def test_detector_survives_sparse_per_split_samples(spark):
+    """Second-review finding: at ~1 sampled doc per split the ANOVA
+    correction cancels the between-split variance exactly, blinding the
+    probe on many-small-file sorted layouts. The per-split sample floor
+    escalates the fraction instead. 200 ordered splits × 100 docs,
+    1% sample → ~1/split without the floor."""
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.pipeline import detect_cost_sorted
+
+    def spans(df):
+        return df.select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.array(
+                F.struct(
+                    F.lit("text").alias("kind"),
+                    F.expr("repeat('x', 10 + cast(id / 50 as int))").alias("text"),
+                    F.lit(None).cast("string").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ).alias("spans"),
+        )
+
+    base = spark.range(20000, numPartitions=200)  # cost ascending w/ id
+    assert detect_cost_sorted(spans(base), sample_fraction=0.01)
+    # hash-mixed control: same docs, same sparse sample — must stay False
+    mixed = spark.range(20000, numPartitions=200).repartition(200, "id")
+    assert not detect_cost_sorted(spans(mixed), sample_fraction=0.01)
