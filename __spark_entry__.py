@@ -381,6 +381,67 @@ def _embedding_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal plumbing as an ORACLED driver entry (it was
+    pytest-only in rounds 1-2): assets are synthesized deterministically
+    from the documents table (payload = UTF-8 bytes of text — genuinely
+    opaque binary to the kernel), run through the SAME Arrow-batched
+    mapInPandas feature kernel real assets use (skew repartition
+    included), then projected to INTEGER columns — the 16-bin histogram
+    is posexploded to (bin, bin_count) rows so parity is float-free
+    (bin_count = round(p·n) recovers the exact count; p is rounded to
+    6 digits, error ≤ n·5e-7 < 0.5). The corpus is pure ASCII (probed
+    at every sf), so DuckDB's per-CHAR ord() equals the per-BYTE value
+    the kernel bins."""
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.operators.multimodal import media_features
+
+    _ship_package(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assets = docs.select(
+        F.col("doc_id").cast("string").alias("media_ref"),
+        F.lit("image").alias("media_kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return (
+        media_features(assets)
+        .select(
+            "media_ref",
+            "media_kind",
+            "n_bytes",
+            F.posexplode("byte_hist").alias("bin", "p"),
+        )
+        .select(
+            "media_ref",
+            "media_kind",
+            "n_bytes",
+            "bin",
+            F.round(F.col("p") * F.col("n_bytes")).cast("long").alias("bin_count"),
+        )
+    )
+
+
+SQL_MULTIMODAL_BYTE_HISTOGRAM = """
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_ref, text, length(text) AS n
+  FROM documents
+), counts AS (
+  SELECT media_ref, ord(ch) // 16 AS bin, count(*) AS c
+  FROM (SELECT media_ref, unnest(string_split(text, '')) AS ch FROM docs)
+  GROUP BY media_ref, bin
+)
+SELECT d.media_ref, 'image' AS media_kind, d.n AS n_bytes, b.bin AS bin,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS bin_count
+FROM docs d
+CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+LEFT JOIN counts c ON c.media_ref = d.media_ref AND c.bin = b.bin
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_pdf_spark.queries import spark_queries
 
@@ -402,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the exact result, so these two get REAL DuckDB oracles (r2 VERDICT #2)
     q["ivf_ann_topk_exhaustive"] = _ivf_ann_topk_exhaustive
     q["embedding_near_dups_exhaustive"] = _embedding_near_dups_exhaustive
+    # multimodal plumbing through the real mapInPandas kernel, oracled
+    q["multimodal_byte_histogram"] = _multimodal_byte_histogram
     return q
 
 
@@ -424,4 +487,5 @@ def oracle_sql() -> dict[str, str]:
 
     o["ivf_ann_topk_exhaustive"] = SQL_ANN_COSINE_TOPK
     o["embedding_near_dups_exhaustive"] = SQL_EMBEDDING_NEAR_DUPS
+    o["multimodal_byte_histogram"] = SQL_MULTIMODAL_BYTE_HISTOGRAM
     return o
