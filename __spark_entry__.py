@@ -427,7 +427,11 @@ def _multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MULTIMODAL_BYTE_HISTOGRAM = """
 WITH docs AS (
-  SELECT CAST(doc_id AS VARCHAR) AS media_ref, text, length(text) AS n
+  -- COALESCE matches the kernel: a NULL payload yields n_bytes 0 and
+  -- 16 zero bins (low-severity review finding; unreachable in shipped
+  -- corpora — probed NULL-free/ASCII — but future-proof)
+  SELECT CAST(doc_id AS VARCHAR) AS media_ref, text,
+         COALESCE(length(text), 0) AS n
   FROM documents
 ), counts AS (
   SELECT media_ref, ord(ch) // 16 AS bin, count(*) AS c
