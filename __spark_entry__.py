@@ -207,6 +207,71 @@ FROM base, (SELECT unnest([1, 2]) AS page_number) p
 """
 
 
+def _stage_stream_dir(src: str) -> str:
+    """The file stream source requires a DIRECTORY; stage a symlink
+    (deterministic path, no data copied, testdata untouched)."""
+    import hashlib
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream_src_" + hashlib.md5(src.encode()).hexdigest()[:10],
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(src))
+    # lexists, not exists: a dangling symlink from a prior run (testdata
+    # regenerated elsewhere) would make exists() False but symlink() raise
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(os.path.abspath(src), link)
+    return d
+
+
+def _streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState as an ORACLED driver entry (it was
+    pytest-only): the stateful gap-sessionization stream drains the
+    events backlog under availableNow into a memory sink; each
+    micro-batch emits running per-user totals (update mode), so the
+    FINAL emission per user — selected via max(struct(n_events, ...)),
+    n_events being strictly increasing per emission — must equal the
+    batch window sessionization, whose DuckDB SQL is the oracle.
+    sum_value accumulates float64 in state vs the oracle's exact
+    decimal sum: values carry ≤4 decimals, so the float error (~1e-12)
+    rounds back to the identical 4-decimal value."""
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.streaming.stateful import sessionize_stream
+
+    _ship_package(spark)
+    src = f"{sf_dir}/events.parquet"
+    d = _stage_stream_dir(src)
+    batch_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(batch_schema).parquet(d)
+    name = "stream_sessionization_result"
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_sessionization did not drain in 300s")
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_sessions", "sum_value")).alias("s"))
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_sessions").alias("n_sessions"),
+        F.col("s.n_events").alias("n_events"),
+        F.round(F.col("s.sum_value"), 4).alias("sum_value"),
+    )
+
+
 def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming as a driver-ORACLED entry: a genuine
     readStream file source over the events table → watermarked tumbling
@@ -214,28 +279,12 @@ def _streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the materialized table is returned as the result. availableNow
     processes the complete backlog, so the result must equal the batch
     group-by — the oracle below is plain SQL over the same parquet."""
-    import hashlib
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from docling_pdf_spark.streaming.jobs import windowed_event_counts
 
     src = f"{sf_dir}/events.parquet"
-    # the file stream source requires a DIRECTORY; stage a symlink
-    # (deterministic path, no data copied, testdata untouched)
-    d = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_stream_src_" + hashlib.md5(src.encode()).hexdigest()[:10],
-    )
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    # lexists, not exists: a dangling symlink from a prior run (testdata
-    # regenerated elsewhere) would make exists() False but symlink() raise
-    if os.path.lexists(link):
-        os.unlink(link)
-    os.symlink(os.path.abspath(src), link)
-
+    d = _stage_stream_dir(src)
     batch_schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(batch_schema).parquet(d)
     name = "stream_windowed_counts_result"
@@ -533,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_interleaved"] = _extract_interleaved
     q["extract_page_stats"] = _extract_page_stats
     q["streaming_windowed_counts"] = _streaming_windowed_counts
+    q["streaming_sessionization"] = _streaming_sessionization
     # non-SQL-expressible ops (custom hash functions) — driver records
     # the weaker rows-only check; full correctness is covered by tests/
     # (LSH recall, IVF recall, subset invariants)
@@ -562,6 +612,11 @@ def oracle_sql() -> dict[str, str]:
     o["extract_interleaved"] = SQL_EXTRACT_INTERLEAVED
     o["extract_page_stats"] = SQL_EXTRACT_PAGE_STATS
     o["streaming_windowed_counts"] = SQL_STREAMING_WINDOWED
+    # the stateful stream's drained totals equal the batch window
+    # sessionization, so its existing SQL is the exact oracle
+    from docling_pdf_spark.queries import SQL_SESSIONIZATION
+
+    o["streaming_sessionization"] = SQL_SESSIONIZATION
     o["minhash_lsh_portable"] = minhash_lsh_portable_oracle_sql(threshold=0.3)
     from docling_pdf_spark.operators.dedup import simhash_portable_oracle_sql
 

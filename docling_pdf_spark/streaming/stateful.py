@@ -83,7 +83,10 @@ def _session_fn(
     rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
         ["ts", "event_id"], ignore_index=True
     )
-    t = rows["ts"].astype("int64") / 1e9  # ns → epoch seconds
+    # WHOLE seconds (ns → floor), matching the batch query's
+    # F.unix_timestamp truncation exactly — micro-precision gaps within
+    # 1s of the threshold must classify identically in both forms
+    t = (rows["ts"].astype("int64") // 10**9).astype("float64")
     prev = t.shift(1)
     if state.exists:
         last_ts, ns, ne, sv = state.get
