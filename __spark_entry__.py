@@ -317,6 +317,18 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _winnow_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winnow_near_dup_pairs as an oracled entry (the fingerprint SET
+    was already oracled; this proves the whole pair pipeline — bucket
+    cap, shared-count join, Broder containment filter — exact)."""
+    from docling_pdf_spark.operators.winnow import winnow_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_near_dup_pairs(
+        docs, min_shared=3, hash_mode="portable", min_containment=0.5
+    )
+
+
 def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_pdf_spark.operators.dedup import minhash_lsh_dedup
 
@@ -586,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # non-SQL-expressible ops (custom hash functions) — driver records
     # the weaker rows-only check; full correctness is covered by tests/
     # (LSH recall, IVF recall, subset invariants)
+    q["winnow_pairs_portable"] = _winnow_pairs_portable
     q["minhash_lsh_dedup"] = _minhash_lsh
     q["minhash_lsh_portable"] = _minhash_lsh_portable
     q["simhash_near_dups"] = _simhash_near_dups
@@ -618,6 +631,11 @@ def oracle_sql() -> dict[str, str]:
 
     o["streaming_sessionization"] = SQL_SESSIONIZATION
     o["minhash_lsh_portable"] = minhash_lsh_portable_oracle_sql(threshold=0.3)
+    from docling_pdf_spark.operators.winnow import winnow_pairs_oracle_sql
+
+    o["winnow_pairs_portable"] = winnow_pairs_oracle_sql(
+        min_shared=3, min_containment=0.5
+    )
     from docling_pdf_spark.operators.dedup import simhash_portable_oracle_sql
 
     o["simhash_portable"] = simhash_portable_oracle_sql(max_hamming=8)

@@ -81,6 +81,52 @@ def winnow_fingerprints(
     )
 
 
+def winnow_pairs_oracle_sql(
+    min_shared: int = 3,
+    min_containment: float = 0.5,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> str:
+    """DuckDB oracle for winnow_near_dup_pairs(hash_mode='portable') —
+    generated so k/w, the bucket cap, and both thresholds are shared
+    with the Spark plan by construction (mirror of the minhash/simhash
+    oracle generators). Rounding parity: Spark F.round is HALF_UP and
+    DuckDB round() half-away-from-zero — identical for the non-negative
+    containment ratio."""
+    from docling_pdf_spark.functions.hashing import PORTABLE_HASH60_SQL
+
+    h = PORTABLE_HASH60_SQL.format(x=f"substr(text, CAST(i AS INT), {k})")
+    return f"""
+WITH g AS (
+  SELECT doc_id, [{h} FOR i IN range(1, length(text) - {k} + 2)] AS hs
+  FROM documents WHERE length(text) >= {k}
+), wins AS (
+  SELECT doc_id, [list_min(hs[CAST(j AS INT):CAST(j + {w - 1} AS INT)])
+          FOR j IN range(1, len(hs) - {w} + 2)] AS ws
+  FROM g WHERE len(hs) >= {w}
+), fp AS (
+  SELECT DISTINCT doc_id, unnest(ws) AS fingerprint FROM wins
+), sizes AS (
+  SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id
+), capped AS (
+  SELECT * FROM fp
+  QUALIFY count(*) OVER (PARTITION BY fingerprint) <= {max_bucket}
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM capped a JOIN capped b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+)
+SELECT doc_a, doc_b, n_shared,
+       round(n_shared / least(sa.n_fp, sb.n_fp), 4) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_shared / least(sa.n_fp, sb.n_fp), 4) >= {min_containment}
+"""
+
+
 def winnow_near_dup_pairs(
     docs: DataFrame,
     min_shared: int = 3,
