@@ -595,14 +595,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["extract_page_stats"] = _extract_page_stats
     q["streaming_windowed_counts"] = _streaming_windowed_counts
     q["streaming_sessionization"] = _streaming_sessionization
-    # non-SQL-expressible ops (custom hash functions) — driver records
-    # the weaker rows-only check; full correctness is covered by tests/
-    # (LSH recall, IVF recall, subset invariants)
+    # oracled portable variants (generated SQL shares constants/caps
+    # with the Spark plans by construction)
     q["winnow_pairs_portable"] = _winnow_pairs_portable
-    q["minhash_lsh_dedup"] = _minhash_lsh
     q["minhash_lsh_portable"] = _minhash_lsh_portable
-    q["simhash_near_dups"] = _simhash_near_dups
     q["simhash_portable"] = _simhash_portable
+    # non-SQL-expressible fast paths (xxhash64) — driver records the
+    # weaker rows-only check; full correctness is covered by tests/
+    # (LSH recall, IVF recall, subset invariants) and each family is
+    # anchored by its portable oracled twin above
+    q["minhash_lsh_dedup"] = _minhash_lsh
+    q["simhash_near_dups"] = _simhash_near_dups
     q["ivf_ann_topk"] = _ivf_ann_topk
     q["embedding_near_dups_bucketed"] = _embedding_near_dups_bucketed
     # exhaustive-probe variants: nprobe = n_centroids collapses IVF to

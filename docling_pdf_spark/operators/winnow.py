@@ -81,6 +81,26 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """THE DuckDB CTE chain producing fp(doc_id, fingerprint) — the one
+    definition both the fingerprint-set oracle (queries.py) and the
+    pair oracle below compose, so k/w/hash can never drift between the
+    two generated SQLs (review-found duplication)."""
+    from docling_pdf_spark.functions.hashing import PORTABLE_HASH60_SQL
+
+    h = PORTABLE_HASH60_SQL.format(x=f"substr(text, CAST(i AS INT), {k})")
+    return f"""g AS (
+  SELECT doc_id, [{h} FOR i IN range(1, length(text) - {k} + 2)] AS hs
+  FROM documents WHERE length(text) >= {k}
+), wins AS (
+  SELECT doc_id, [list_min(hs[CAST(j AS INT):CAST(j + {w - 1} AS INT)])
+          FOR j IN range(1, len(hs) - {w} + 2)] AS ws
+  FROM g WHERE len(hs) >= {w}
+), fp AS (
+  SELECT DISTINCT doc_id, unnest(ws) AS fingerprint FROM wins
+)"""
+
+
 def winnow_pairs_oracle_sql(
     min_shared: int = 3,
     min_containment: float = 0.5,
@@ -94,20 +114,8 @@ def winnow_pairs_oracle_sql(
     oracle generators). Rounding parity: Spark F.round is HALF_UP and
     DuckDB round() half-away-from-zero — identical for the non-negative
     containment ratio."""
-    from docling_pdf_spark.functions.hashing import PORTABLE_HASH60_SQL
-
-    h = PORTABLE_HASH60_SQL.format(x=f"substr(text, CAST(i AS INT), {k})")
     return f"""
-WITH g AS (
-  SELECT doc_id, [{h} FOR i IN range(1, length(text) - {k} + 2)] AS hs
-  FROM documents WHERE length(text) >= {k}
-), wins AS (
-  SELECT doc_id, [list_min(hs[CAST(j AS INT):CAST(j + {w - 1} AS INT)])
-          FOR j IN range(1, len(hs) - {w} + 2)] AS ws
-  FROM g WHERE len(hs) >= {w}
-), fp AS (
-  SELECT DISTINCT doc_id, unnest(ws) AS fingerprint FROM wins
-), sizes AS (
+WITH {winnow_fingerprints_sql(k, w)}, sizes AS (
   SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id
 ), capped AS (
   SELECT * FROM fp

@@ -616,9 +616,14 @@ SQL_SESSIONIZATION = """
 SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events,
        round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
 FROM (
+  -- gap in FLOORED whole seconds, matching Spark's unix_timestamp
+  -- truncation (and the streaming state fn) exactly: a fractional-gap
+  -- comparison diverges on gaps in (1800, 1801) whose floored diff is
+  -- 1800 (review-found; the shipped corpora pass a fractional oracle
+  -- only by luck of where their near-threshold gaps fall)
   SELECT user_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts - lag(ts) OVER w) > 1800
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -924,19 +929,14 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+from docling_pdf_spark.operators.winnow import winnow_fingerprints_sql
+
+# composed from THE shared CTE generator (operators/winnow.py) so this
+# oracle and the pair oracle can never drift on k/w/hash (review-found
+# duplication)
 SQL_WINNOW_FINGERPRINTS = f"""
-WITH g AS (
-  SELECT doc_id,
-         [{PORTABLE_HASH60_SQL.format(x="substr(text, CAST(i AS INT), 8)")}
-          FOR i IN range(1, length(text) - 8 + 2)] AS hs
-  FROM documents WHERE length(text) >= 8
-), w AS (
-  SELECT doc_id,
-         [list_min(hs[CAST(j AS INT):CAST(j + 3 AS INT)])
-          FOR j IN range(1, len(hs) - 4 + 2)] AS wins
-  FROM g WHERE len(hs) >= 4
-)
-SELECT DISTINCT doc_id, unnest(wins) AS fingerprint FROM w
+WITH {winnow_fingerprints_sql()}
+SELECT doc_id, fingerprint FROM fp
 """
 
 
