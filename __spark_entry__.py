@@ -103,7 +103,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
     _ship_package(spark)
     docs = _interleaved_from_documents(spark, "/root/testdata/sf0.001")
-    return extract(docs, num_partitions=8)
+    # explicit mode: the corpus is fixed and well-mixed, so paying the
+    # 'auto' probe jobs on every driver invocation buys nothing
+    return extract(docs, num_partitions=8, salt_mode="heavy")
 
 
 def _extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,7 +123,10 @@ def _extract_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_pdf_spark.pipeline import extract
 
     _ship_package(spark)
-    out = extract(_interleaved_from_documents(spark, sf_dir), num_partitions=8)
+    out = extract(
+        _interleaved_from_documents(spark, sf_dir), num_partitions=8,
+        salt_mode="heavy",  # fixed well-mixed corpus: skip the auto probe
+    )
     return out.select(
         "doc_id",
         "extraction_method",
@@ -191,7 +196,10 @@ def _extract_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ship_package(spark)
     return page_stats(
-        extract(_interleaved_from_documents(spark, sf_dir), num_partitions=8)
+        extract(
+            _interleaved_from_documents(spark, sf_dir), num_partitions=8,
+            salt_mode="heavy",  # fixed well-mixed corpus: skip the auto probe
+        )
     )
 
 
@@ -459,17 +467,8 @@ def _multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_pdf_spark.operators.multimodal import media_features
 
     _ship_package(spark)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    assets = docs.select(
-        F.col("doc_id").cast("string").alias("media_ref"),
-        F.lit("image").alias("media_kind"),
-        F.encode("text", "utf-8").alias("data"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("int").alias("duration_ms"),
-    )
     return (
-        media_features(assets)
+        media_features(_multimodal_assets(spark, sf_dir, "image"))
         .select(
             "media_ref",
             "media_kind",

@@ -49,20 +49,16 @@ def timed_partition_probe(df):
 def run_mode(spark, docs, mode: str, num_partitions: int):
     """One (layout, mode) measurement; returns the report dict."""
     from docling_pdf_spark.pipeline import (
-        detect_cost_sorted,
         heavy_only_salting,
+        resolve_salt_mode,
         salted_repartition,
     )
 
     resolved = mode
     if mode == "auto":
-        resolved = (
-            "full"
-            if detect_cost_sorted(
-                docs, min_effective_splits=max(2, num_partitions // 4)
-            )
-            else "heavy"
-        )
+        # the ONE production policy — the harness must measure exactly
+        # what extract()/run_extraction() would pick
+        resolved = resolve_salt_mode(docs, num_partitions)
     if resolved == "full":
         staged = salted_repartition(docs, num_partitions)
     elif resolved == "heavy":

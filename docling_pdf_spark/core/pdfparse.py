@@ -170,6 +170,19 @@ _INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+(\d+)\s+R")
 _INFO_ENTRY_RE = re.compile(rb"/(\w+)\s*\((" + _LITBODY + rb")\)")
 
 
+def _strip_stream_bodies(data: bytes) -> bytes:
+    """Object-scan preimage for METADATA resolution (Info dict, encrypt
+    dict): stream payloads blanked so object-syntax bytes inside page
+    CONTENT ('8 0 obj << /Producer (Spoof) >> endobj' in a document
+    about PDF internals) can never satisfy a trailer-referenced object
+    lookup — whole-round-review finding: the last-wins scan protected
+    against earlier spoofs (updates append) but not against page bytes
+    positioned after the real object. One C-speed regex pass; the text
+    extractor keeps reading the real stream bodies, this preimage is
+    metadata-only."""
+    return _STREAM_RE.sub(b"stream\nendstream", data)
+
+
 def encryption_flags(data: bytes) -> tuple[bool, bool]:
     """(encrypted, needs_password) — the reference's two distinct flags
     (docling-pdf pdf_extractor.py:591-612: is_encrypted vs needs_pass).
@@ -205,7 +218,7 @@ def encryption_flags(data: bytes) -> tuple[bool, bool]:
             re.S,
         )
         last = None
-        for m_obj in obj_re.finditer(data):
+        for m_obj in obj_re.finditer(_strip_stream_bodies(data)):
             last = m_obj
         scope = last.group(1) if last else b""
     m = _U_RE.search(scope)
@@ -259,7 +272,9 @@ def info_dict(data: bytes) -> dict[str, str]:
         re.S,
     )
     last = None
-    for m_obj in obj_re.finditer(data):
+    # stream-stripped preimage: page-content bytes spelling
+    # 'N G obj ... endobj' can neither shadow nor spoof the Info object
+    for m_obj in obj_re.finditer(_strip_stream_bodies(data)):
         last = m_obj
     if last is None:
         return {}
@@ -285,14 +300,41 @@ _OP_RE = re.compile(
     rb"|\(" + _LITBODY + rb"\)"
 )
 
+# FLAT fallbacks for streams whose parens don't balance (malformed /
+# truncated crawl PDFs): on such streams the nesting-aware patterns can
+# swallow text across block boundaries (one unbalanced '(' turns the
+# rest of the stream into a 'string', whole-round-review finding), so
+# the parser degrades to the round-2 flat behavior — strings truncate
+# at the first unescaped ')', but no block is merged away.
+_BT_FLAT_RE = re.compile(rb"BT\b((?:\((?:\\.|[^\\()])*\)|[^(])*?)\bET", re.S)
+_OP_FLAT_RE = re.compile(
+    rb"([-\d.]+)\s+([-\d.]+)\s+Td"
+    rb"|\(((?:\\.|[^\\()])*)\)\s*Tj"
+    rb"|\((?:\\.|[^\\()])*\)"
+)
+
+
+def _parens_balanced(stream: bytes) -> bool:
+    """Unescaped-paren count balance (C-speed; a doubled backslash
+    before a paren miscounts — vanishingly rare, and the only cost is
+    taking the conservative flat path)."""
+    return (stream.count(b"(") - stream.count(b"\\(")) == (
+        stream.count(b")") - stream.count(b"\\)")
+    )
+
 
 def _text_boxes(stream: bytes) -> list[tuple[float, float, str]]:
     """Extract (x, y, text) boxes from one content stream — single pass
-    over Td/Tj ops in order (each Tj takes the last Td before it)."""
+    over Td/Tj ops in order (each Tj takes the last Td before it).
+    Nesting-aware string handling on balanced streams; flat fallback on
+    unbalanced ones (see _BT_FLAT_RE)."""
+    balanced = _parens_balanced(stream)
+    bt_re = _BT_RE if balanced else _BT_FLAT_RE
+    op_re = _OP_RE if balanced else _OP_FLAT_RE
     boxes: list[tuple[float, float, str]] = []
-    for bt in _BT_RE.finditer(stream):
+    for bt in bt_re.finditer(stream):
         x = y = 0.0
-        for m in _OP_RE.finditer(bt.group(1)):
+        for m in op_re.finditer(bt.group(1)):
             if m.group(3) is not None:  # Tj
                 boxes.append((x, y, _unescape(m.group(3))))
             elif m.group(1) is not None:  # Td

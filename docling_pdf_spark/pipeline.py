@@ -224,6 +224,19 @@ def detect_cost_sorted(
     return cv is not None and cv >= threshold
 
 
+def resolve_salt_mode(df: DataFrame, num_partitions: int) -> str:
+    """THE 'auto' policy, defined once (whole-round-review finding: the
+    probe call + min_effective_splits formula were restated in three
+    places, letting the skew harness drift from production): full salt
+    when the layout is cost-clustered OR the light branch would have
+    fewer than num_partitions/4 effective splits; heavy otherwise."""
+    return (
+        "full"
+        if detect_cost_sorted(df, min_effective_splits=max(2, num_partitions // 4))
+        else "heavy"
+    )
+
+
 def heavy_only_salting(df: DataFrame, num_partitions: int) -> DataFrame:
     """Skew taming without shuffling the world (the 100 TB-correct
     variant): only the oversized cohort (~0.5% of docs, but the entire
@@ -269,13 +282,7 @@ def extract(
       'none'            — trust the input partitioning."""
     if num_partitions:
         if salt_mode == "auto":
-            salt_mode = (
-                "full"
-                if detect_cost_sorted(
-                    df, min_effective_splits=max(2, num_partitions // 4)
-                )
-                else "heavy"
-            )
+            salt_mode = resolve_salt_mode(df, num_partitions)
         if salt_mode == "full":
             df = salted_repartition(df, num_partitions)
         elif salt_mode == "heavy":
@@ -346,13 +353,7 @@ def run_extraction(
     # resolve 'auto' ONCE for the whole job (the layout doesn't change
     # between commit groups; per-group probes would be redundant jobs)
     if salt_mode == "auto" and num_partitions:
-        salt_mode = (
-            "full"
-            if detect_cost_sorted(
-                docs, min_effective_splits=max(2, num_partitions // 4)
-            )
-            else "heavy"
-        )
+        salt_mode = resolve_salt_mode(docs, num_partitions)
 
     # real lineage token (Iceberg snapshot id in catalog mode; file
     # fingerprint in the parquet fallback) — resume detects when the
@@ -360,6 +361,17 @@ def run_extraction(
     snapshot = current_snapshot
     group_size = buckets_per_commit or len(pending)
     groups = [pending[i : i + group_size] for i in range(0, len(pending), group_size)]
+
+    # completeness-guard input counts for ALL pending buckets in ONE
+    # doc_id-pruned scan (whole-round-review finding: the per-group
+    # recount was an extra full input scan per commit group)
+    in_counts = {
+        r["bucket"]: int(r["n"])
+        for r in docs.where(F.col("bucket").isin([int(b) for b in pending]))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
 
     for gi, group in enumerate(groups):
         started = _utcnow_iso(spark)
@@ -400,11 +412,7 @@ def run_extraction(
         # marked completed with no result is a 500, not a success): a
         # bucket whose input slice is non-empty must never be committed
         # 'done' with zero output rows — that would make resume skip it
-        # forever. doc_id-only count, so the probe scan is column-pruned.
-        in_counts = {
-            r["bucket"]: int(r["n"])
-            for r in sub.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-        }
+        # forever. Counts precomputed once for the whole job above.
         for b in group:
             r = by_bucket.get(b)
             n_docs = int(r["n_docs"]) if r else 0

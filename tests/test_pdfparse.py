@@ -260,3 +260,45 @@ def test_string_operand_of_other_ops_never_leaks_td():
     poisoned = pdf.replace(b"(PLACEHOLDER) Tj", b"(1 2 Td) Tw")
     parsed = parse_strict(poisoned)
     assert parsed.pages[0].boxes == [(72.0, 630.0, "real text")]
+
+
+def test_unbalanced_paren_stream_falls_back_to_flat_parse():
+    """Whole-round-review finding: one unbalanced '(' must not let the
+    nesting-aware string matcher swallow later blocks. Unbalanced
+    streams are detected by paren-count and parsed with the flat
+    (round-2) regexes: strings truncate, blocks survive."""
+    from docling_pdf_spark.core.pdfparse import _text_boxes
+
+    stream = b"BT 10 700 Td (bad ET BT 10 600 Td (good) Tj ET"
+    #          ^ unbalanced '(' before 'bad' — no closing for it
+    boxes = _text_boxes(stream)
+    assert ("good" in [t for _x, _y, t in boxes])
+
+    # count-BALANCED nested string: the spec-correct reading is ONE
+    # literal string (ISO 32000-1 allows balanced parens), so both
+    # 'segments' belong to one block and the string is the operand of
+    # a Tj — consumed whole
+    nested = b"BT 10 700 Td (bad ET BT (good) Tj x) Tj ET"
+    assert [t for _x, _y, t in _text_boxes(nested)] == ["bad ET BT (good) Tj x"]
+
+
+def test_info_object_cannot_be_spoofed_from_stream_data():
+    """Whole-round-review finding: page CONTENT spelling out
+    'N G obj << /Producer (Spoof) >> endobj' after the real Info object
+    must not win the last-match scan — metadata object resolution runs
+    on a stream-stripped preimage."""
+    from docling_pdf_spark.core.pdfparse import info_dict
+
+    pdf = make_pdf([_page((72, 700, "SPOOFSLOT"))], producer="Real Writer")
+    assert info_dict(pdf) == {"Producer": "Real Writer"}
+    # find the real Info object's number to craft a matching spoof
+    import re as _re
+
+    num = _re.search(rb"/Info (\d+) 0 R", pdf).group(1).decode()
+    spoof = f"{num} 0 obj << /Producer (Spoof) >> endobj".encode()
+    poisoned = pdf.replace(b"(SPOOFSLOT)", b"(" + spoof.replace(b"(", b"\\(").replace(b")", b"\\)") + b")")
+    # the spoof sits INSIDE a content stream (escaped string payload);
+    # also try the raw-bytes variant appended inside the stream body
+    assert info_dict(poisoned) == {"Producer": "Real Writer"}
+    raw_inject = pdf.replace(b"(SPOOFSLOT) Tj", spoof + b" (x) Tj")
+    assert info_dict(raw_inject) == {"Producer": "Real Writer"}
