@@ -94,32 +94,75 @@ def default_centroids(
     )
 
 
+_SAMPLE_MOD = 1_000_003  # prime modulus: xxhash64 residues spread ~uniformly
+
+
+def _train_sample(
+    v: DataFrame, cap: int, id_col: str = "_id"
+) -> tuple[DataFrame, bool]:
+    """Deterministic hash-residue sample of ~cap rows (no RNG, no seed
+    drift across runs/partitionings): keep rows whose
+    pmod(xxhash64(id), M) falls below M*cap/total. One column-pruned
+    count() sizes the fraction; the filter is a narrow scan predicate.
+    Returns (df, sampled?) — the input unchanged when total <= cap."""
+    total = v.count()
+    if total <= cap:
+        return v, False
+    num = max(1, (_SAMPLE_MOD * cap) // total)
+    return (
+        v.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(_SAMPLE_MOD)) < F.lit(num)),
+        True,
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n: int = 16,
     iters: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_train_vectors: int | None = 100_000,
 ) -> DataFrame:
     """Spherical k-means (Lloyd) trained with DataFrame ops — the
     public k-means recipe (MacQueen/Lloyd; spherical variant for cosine
     space). Replaces round-1's untrained seed centroids.
 
-    Per iteration: broadcast-assign every vector to its best centroid
-    (one scan, no shuffle of the vectors), then the centroid update is
-    a posexplode → groupBy(bucket, pos) mean — partial+final hash agg,
-    shuffle = n_vectors × dim scalar rows with map-side combine. The
-    n×dim centroid table is collected driver-side each iteration by
-    design (centroids are small by definition; this is the standard
-    broadcast-k-means shape — at 100 TB you train on a sample anyway).
+    Training reads at most max_train_vectors rows: a deterministic
+    hash-residue sample (xxhash64(id) mod M < threshold — see
+    _train_sample) is taken ONCE before the Lloyd loop and persisted,
+    so each iteration aggregates the bounded sample, never the full
+    corpus. Coarse IVF centroids only need a representative sample
+    (FAISS trains IVF on ~max(10^5, 50·k) points regardless of corpus
+    size); without this cap each iteration would shuffle
+    n_vectors × dim scalar rows — the one stage that previously did
+    not survive a 100× scale-up. Pass max_train_vectors=None to train
+    on everything (small corpora are unaffected either way: the cap
+    only bites past 100k vectors).
 
-    Deterministic init (hash-spread seeds); means are float64. Empty
-    buckets keep their previous centroid. Returns (centroid_id int,
-    centroid array<double>) with centroid_id in [0, n)."""
+    Per iteration: broadcast-assign every sampled vector to its best
+    centroid (one scan of the cached sample, no shuffle of the
+    vectors), then the centroid update is a posexplode →
+    groupBy(bucket, pos) mean — partial+final hash agg with map-side
+    combine over sample-sized input. The n×dim centroid table is
+    collected driver-side each iteration by design (centroids are
+    small by definition; this is the standard broadcast-k-means
+    shape).
+
+    Deterministic init (hash-spread seeds from the sample); means are
+    float64. Empty buckets keep their previous centroid. Returns
+    (centroid_id int, centroid array<double>) with centroid_id in
+    [0, n)."""
     spark = vectors.sparkSession
     v = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    sampled = False
+    if max_train_vectors is not None:
+        v, sampled = _train_sample(v, max_train_vectors, "_id")
+    if sampled:
+        # cache the bounded sample: 4 iterations re-read ~cap rows from
+        # memory instead of re-scanning + re-filtering the full corpus
+        v = v.persist()
     seeds = (
         v.orderBy(F.xxhash64(F.col("_id")), F.asc("_id")).limit(n).collect()
     )
@@ -152,6 +195,8 @@ def kmeans_centroids(
             norm = sum(x * x for x in m) ** 0.5 or 1.0
             new_cents.append((cid, [x / norm for x in m]))
         cents = new_cents
+    if sampled:
+        v.unpersist()
     return spark.createDataFrame(cents, ["centroid_id", "centroid"])
 
 

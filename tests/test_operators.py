@@ -123,6 +123,75 @@ def test_ivf_recall_vs_brute_force(spark):
     assert assigned.select("bucket").distinct().count() <= 16
 
 
+def test_kmeans_training_reads_only_the_sample(spark):
+    """With max_train_vectors set below the corpus size, the Lloyd loop
+    must aggregate ONLY the deterministic hash-residue sample: training
+    the full corpus under the cap yields exactly the centroids of
+    training the pre-filtered sample with no cap. If any iteration
+    touched a non-sample vector the means (and so the output) would
+    differ."""
+    from docling_pdf_spark.operators.similarity import (
+        _SAMPLE_MOD,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    total = emb.count()
+    cap = 120
+    num = max(1, (_SAMPLE_MOD * cap) // total)
+    pre = emb.where(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(_SAMPLE_MOD)) < F.lit(num)
+    )
+    n_sample = pre.count()
+    assert 0 < n_sample < total  # the cap actually bit
+    assert n_sample <= 2 * cap  # and bounded near the cap
+
+    capped = kmeans_centroids(emb, n=8, iters=2, max_train_vectors=cap)
+    manual = kmeans_centroids(pre, n=8, iters=2, max_train_vectors=None)
+    a = {r["centroid_id"]: r["centroid"] for r in capped.collect()}
+    b = {r["centroid_id"]: r["centroid"] for r in manual.collect()}
+    assert a.keys() == b.keys()
+    for cid in a:
+        assert a[cid] == pytest.approx(b[cid], abs=1e-12)
+
+
+def test_kmeans_sample_is_narrow_scan_predicate(spark):
+    """The training sample is a filter pushed at the scan — no shuffle,
+    no Python — so at 100 TB it is one narrow pass, not a stage."""
+    from docling_pdf_spark.operators.similarity import _train_sample
+
+    v = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    s, sampled = _train_sample(v, 100, "_id")
+    assert sampled
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
+    assert "Exchange" not in plan and "Python" not in plan
+    # under the cap nothing changes: input passes through untouched
+    same, hit = _train_sample(v, 10_000, "_id")
+    assert not hit and same is v
+
+
+def test_ivf_recall_with_sampled_centroids(spark):
+    """The recall gate must hold when centroids come from a forced
+    training sample — the 100 TB configuration."""
+    from docling_pdf_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(emb, list(qv), k=10).collect()]
+    cents = kmeans_centroids(emb, n=16, iters=3, max_train_vectors=150)
+    assigned = ivf_assign(emb, cents)
+    approx = [
+        r["vec_id"]
+        for r in ivf_cosine_topk(assigned, cents, list(qv), k=10, nprobe=6).collect()
+    ]
+    assert len(set(exact) & set(approx)) / 10 >= 0.5
+    assert assigned.count() == emb.count()
+
+
 def test_brute_force_topk_matches_query_itself(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qv = list(emb.where(F.col("vec_id") == 7).collect()[0]["embedding"])
