@@ -200,13 +200,22 @@ def encryption_flags(data: bytes) -> tuple[bool, bool]:
     (or is absent) means a password is required."""
     from docling_pdf_spark.core.pdfgen import PDF_PAD
 
-    trailer_at = data.rfind(b"trailer")
+    if data.find(b"/Encrypt") < 0:
+        return False, False  # memchr prefilter before the strip pass
+    # ALL metadata resolution below runs on the stream-stripped
+    # preimage (r3 ADVICE): rfind(b"trailer") on raw bytes can land on
+    # the word 'trailer' inside the LAST page's content stream of an
+    # xref-stream PDF, which would re-scope the /Encrypt lookup to page
+    # text. Stripping preserves every dictionary portion, so the real
+    # trailer / encrypt object are unaffected.
+    stripped = _strip_stream_bodies(data)
+    trailer_at = stripped.rfind(b"trailer")
     if trailer_at >= 0:
-        scope_for_ref = data[trailer_at:]
+        scope_for_ref = stripped[trailer_at:]
         if b"/Encrypt" not in scope_for_ref:
             return False, False
     else:
-        scope_for_ref = data  # xref-stream PDF: no trailer keyword
+        scope_for_ref = stripped  # xref-stream PDF: no trailer keyword
     ref = _ENCRYPT_REF_RE.search(scope_for_ref)
     if ref is None:
         if trailer_at < 0:
@@ -218,7 +227,7 @@ def encryption_flags(data: bytes) -> tuple[bool, bool]:
             re.S,
         )
         last = None
-        for m_obj in obj_re.finditer(_strip_stream_bodies(data)):
+        for m_obj in obj_re.finditer(stripped):
             last = m_obj
         scope = last.group(1) if last else b""
     m = _U_RE.search(scope)
@@ -243,9 +252,18 @@ def info_dict(data: bytes) -> dict[str, str]:
     no-Info payload — the same measured-12% lesson as the old sniff)."""
     if data.find(b"/Info") < 0:
         return {}
-    trailer_at = data.rfind(b"trailer")
+    # one strip pass up front; every lookup below — trailer keyword,
+    # /Info reference, XRef-object scan, Info-object resolution — runs
+    # on the stream-stripped preimage (r3 ADVICE ×2: raw-byte rfind can
+    # hit 'trailer' inside a content stream, and a decoy object spliced
+    # INSIDE a stream body — after an 'endobj' token in that body —
+    # previously satisfied the xref-object scan and hijacked /Info
+    # resolution for trailer-less files). Dict portions survive
+    # stripping unchanged, so real metadata is unaffected.
+    stripped = _strip_stream_bodies(data)
+    trailer_at = stripped.rfind(b"trailer")
     if trailer_at >= 0:
-        ref = _INFO_REF_RE.search(data[trailer_at:])
+        ref = _INFO_REF_RE.search(stripped[trailer_at:])
     else:
         # xref-stream PDF (no 'trailer' keyword): the trailer entries
         # live in the /Type /XRef stream object's dictionary — scope the
@@ -254,7 +272,7 @@ def info_dict(data: bytes) -> dict[str, str]:
         # false-positive class this function exists to eliminate
         # (review-found).
         ref = None
-        for m_obj in _OBJ_RE.finditer(data):
+        for m_obj in _OBJ_RE.finditer(stripped):
             # only the object's DICTIONARY portion counts: a page whose
             # stream DATA merely mentions '/Type /XRef ... /Info N G R'
             # (a document about PDF internals) must not be resolved as
@@ -272,9 +290,9 @@ def info_dict(data: bytes) -> dict[str, str]:
         re.S,
     )
     last = None
-    # stream-stripped preimage: page-content bytes spelling
+    # same stripped preimage: page-content bytes spelling
     # 'N G obj ... endobj' can neither shadow nor spoof the Info object
-    for m_obj in obj_re.finditer(_strip_stream_bodies(data)):
+    for m_obj in obj_re.finditer(stripped):
         last = m_obj
     if last is None:
         return {}
@@ -314,13 +332,24 @@ _OP_FLAT_RE = re.compile(
 )
 
 
+_PAREN_RUN_RE = re.compile(rb"(\\*)([()])")
+
+
 def _parens_balanced(stream: bytes) -> bool:
-    """Unescaped-paren count balance (C-speed; a doubled backslash
-    before a paren miscounts — vanishingly rare, and the only cost is
-    taking the conservative flat path)."""
-    return (stream.count(b"(") - stream.count(b"\\(")) == (
-        stream.count(b")") - stream.count(b"\\)")
-    )
+    """Exact unescaped-paren balance: each paren is matched with its
+    immediately-preceding backslash run; an odd-length run escapes it
+    (ISO 32000-1 §7.3.4.2). The old count() arithmetic was two-sided
+    wrong on an escaped-backslash-then-paren sequence ('\\\\)' counts
+    as the literal pattern '\\)' and subtracted a genuinely unescaped
+    close paren), so a truly unbalanced stream could be judged balanced
+    and the nesting-aware regex could swallow later BT..ET blocks — the
+    failure mode the flat fallback exists to prevent (r3 ADVICE). Cost
+    is one C-speed scan plus a Python step per paren occurrence."""
+    bal = 0
+    for m in _PAREN_RUN_RE.finditer(stream):
+        if len(m.group(1)) % 2 == 0:  # even backslash run → unescaped
+            bal += 1 if m.group(2) == b"(" else -1
+    return bal == 0
 
 
 def _text_boxes(stream: bytes) -> list[tuple[float, float, str]]:

@@ -302,3 +302,56 @@ def test_info_object_cannot_be_spoofed_from_stream_data():
     assert info_dict(poisoned) == {"Producer": "Real Writer"}
     raw_inject = pdf.replace(b"(SPOOFSLOT) Tj", spoof + b" (x) Tj")
     assert info_dict(raw_inject) == {"Producer": "Real Writer"}
+
+
+def test_xref_decoy_inside_stream_body_is_ignored():
+    """r3 ADVICE: a decoy object spliced INSIDE a stream body —
+    positioned after an 'endobj' token in that body, with no
+    intervening 'stream' keyword — previously satisfied the raw-bytes
+    xref-object scan and hijacked /Info resolution for trailer-less
+    PDFs. The scan now runs on the stream-stripped preimage."""
+    from docling_pdf_spark.core.pdfparse import info_dict
+
+    pdf = make_pdf([_page((72, 700, "x"))])
+    no_trailer = pdf.replace(b"trailer", b"trailXX")
+    decoy = no_trailer + (
+        b"7 0 obj\n<< /Length 120 >>\nstream\n"
+        b"text endobj 9 0 obj << /Type /XRef /Size 10 /W [1 2 1] "
+        b"/Info 8 0 R >> endobj more"
+        b"\nendstream\nendobj\n"
+        b"8 0 obj\n<< /Producer (spoofed) >>\nendobj\n"
+    )
+    assert info_dict(decoy) == {}
+
+
+def test_trailer_keyword_in_stream_does_not_rescope_info():
+    """r3 ADVICE: rfind(b'trailer') on raw bytes can land on the word
+    'trailer' inside the last page's content stream of a trailer-less
+    PDF, re-scoping the /Info lookup to page text. The keyword search
+    now runs on the stream-stripped preimage."""
+    from docling_pdf_spark.core.pdfparse import info_dict
+
+    pdf = make_pdf([_page((72, 700, "TRAILERSLOT mentions /Info 8 0 R ok"))])
+    no_trailer = pdf.replace(b"trailer", b"trailXX").replace(
+        b"TRAILERSLOT", b"trailer"
+    )
+    poisoned = no_trailer + b"8 0 obj\n<< /Producer (spoofed) >>\nendobj\n"
+    assert info_dict(poisoned) == {}
+
+
+def test_escaped_backslash_miscount_does_not_swallow_blocks():
+    """r3 ADVICE: the old count() balance arithmetic treated the
+    unescaped paren in '\\\\)' (escaped backslash, then paren) as
+    escaped, so a truly unbalanced stream could be judged balanced and
+    the nesting-aware matcher could swallow later BT..ET blocks. The
+    backslash-run parity scan is exact in both directions."""
+    from docling_pdf_spark.core.pdfparse import _parens_balanced, _text_boxes
+
+    stream = b"BT 10 700 Td (bad ET BT 10 600 Td (good) Tj ET q \\\\) ) Q"
+    # truly unbalanced (opens 2, unescaped closes 3); the old formula
+    # judged it balanced and the nesting-aware path swallowed 'good'
+    assert not _parens_balanced(stream)
+    assert "good" in [t for _x, _y, t in _text_boxes(stream)]
+    # the legal escaped-backslash-terminated string is genuinely
+    # balanced; the old formula wrongly judged it unbalanced
+    assert _parens_balanced(b"BT (x\\\\) Tj ET")
