@@ -337,11 +337,41 @@ def _winnow_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAT_ROOT = "/tmp/spark_graft_oracle_mat"
+
+
+def _mat_path(sf_dir: str, name: str) -> str:
+    """Per-SF parquet path for hash-materialization oracles (r3 VERDICT
+    #3): an entry writes its Spark-computed hash artifacts (signatures,
+    fingerprints, bucket assignments) here and its generated oracle SQL
+    reads them back, making everything DOWNSTREAM of the unportable
+    hash exactly DuckDB-checkable. Keyed by the sf basename so a bench
+    run at sf0.1 cannot clobber the sf0.01 artifacts mid-compare."""
+    return f"{_MAT_ROOT}/{os.path.basename(os.path.normpath(sf_dir))}/{name}"
+
+
 def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from docling_pdf_spark.operators.dedup import minhash_lsh_dedup
+    """xxhash64 MinHash-LSH with a hash-materialization oracle: the
+    banded signature table is written to parquet and the generated SQL
+    (lsh_materialized_oracle_sql) replays the cap + bucket join + pair
+    dedupe + Jaccard estimate + threshold over it — the whole pipeline
+    downstream of the hash is now EXACTLY oracled (was rows-only in
+    rounds 1-3); the hash itself stays pytest-gated."""
+    from docling_pdf_spark.operators.dedup import (
+        lsh_melted,
+        lsh_pairs_from_melted,
+        minhash_signatures,
+        shingles,
+    )
+    from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_dedup(docs, threshold=0.3)
+    melted = lsh_melted(minhash_signatures(shingles(docs)))
+    path = _mat_path(sf_dir, "minhash_melted")
+    melted.write.mode("overwrite").parquet(path)
+    return lsh_pairs_from_melted(spark.read.parquet(path)).where(
+        F.col("est_jaccard") >= 0.3
+    )
 
 
 def _minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,13 +385,21 @@ def _minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 SimHash with a hash-materialization oracle: the
+    fingerprint chunk table is written to parquet; the generated SQL
+    replays cap + chunk-bucket join + dedupe + bit_count(xor) Hamming
+    verify over it (exactly oracled; was rows-only)."""
     from docling_pdf_spark.operators.dedup import (
         simhash_fingerprints,
-        simhash_near_dups,
+        simhash_melted,
+        simhash_pairs_from_melted,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_dups(simhash_fingerprints(docs), max_hamming=8)
+    melted = simhash_melted(simhash_fingerprints(docs), max_hamming=8)
+    path = _mat_path(sf_dir, "simhash_melted")
+    melted.write.mode("overwrite").parquet(path)
+    return simhash_pairs_from_melted(spark.read.parquet(path), max_hamming=8)
 
 
 def _simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,18 +416,35 @@ def _simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate IVF top-k (nprobe=4) with a hash-materialization
+    oracle: the bucket assignment (the IVF index — at scale this IS the
+    write-time partitioning of the vector table) and the chosen probe
+    ids are written to parquet; the oracle SQL replays the pruned scan
+    + exact cosine + top-k over them against the embeddings view. The
+    centroid training/probe ranking stays pytest-gated (recall gates);
+    the query-time path is now EXACTLY oracled (was rows-only).
+    sim rounded to 4 — the proven DuckDB float64 parity precision."""
     from pyspark.sql import functions as F
 
     from docling_pdf_spark.operators.similarity import (
         ivf_assign,
         ivf_cosine_topk,
         kmeans_centroids,
+        rank_probes,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
     cents = kmeans_centroids(emb, n=16, iters=3)
-    return ivf_cosine_topk(ivf_assign(emb, cents), cents, qv, k=10, nprobe=4)
+    apath = _mat_path(sf_dir, "ivf_assign")
+    ivf_assign(emb, cents).write.mode("overwrite").parquet(apath)
+    ppath = _mat_path(sf_dir, "ivf_probes")
+    spark.createDataFrame(
+        [(p,) for p in rank_probes(cents, qv, 4)], "centroid_id int"
+    ).write.mode("overwrite").parquet(ppath)
+    return ivf_cosine_topk(
+        spark.read.parquet(apath), cents, qv, k=10, nprobe=4, sim_round=4
+    )
 
 
 def _ivf_ann_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,13 +496,23 @@ def _embedding_near_dups_exhaustive(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def _embedding_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from docling_pdf_spark.operators.dedup import embedding_near_dups_bucketed
-    from docling_pdf_spark.operators.similarity import kmeans_centroids
+    """IVF-bucketed embedding near-dups (nprobe=2) with a
+    hash-materialization oracle: the multi-probe (vec_id, embedding,
+    bucket) assignment is written to parquet; the oracle SQL replays
+    cap + per-bucket quadratic join + exact cosine + threshold +
+    cross-bucket pair dedupe over it (exactly oracled; was rows-only —
+    the centroid training stays recall-gated in pytest)."""
+    from docling_pdf_spark.operators.dedup import embedding_pairs_from_assigned
+    from docling_pdf_spark.operators.similarity import (
+        ivf_assign_multi,
+        kmeans_centroids,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups_bucketed(
-        emb, kmeans_centroids(emb, n=16, iters=3), threshold=0.3, nprobe=2
-    )
+    assigned = ivf_assign_multi(emb, kmeans_centroids(emb, n=16, iters=3), nprobe=2)
+    path = _mat_path(sf_dir, "nd_assign_multi")
+    assigned.write.mode("overwrite").parquet(path)
+    return embedding_pairs_from_assigned(spark.read.parquet(path), threshold=0.3)
 
 
 def _multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,31 +522,23 @@ def _multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     opaque binary to the kernel), run through the SAME Arrow-batched
     mapInPandas feature kernel real assets use (skew repartition
     included), then projected to INTEGER columns — the 16-bin histogram
-    is posexploded to (bin, bin_count) rows so parity is float-free
-    (bin_count = round(p·n) recovers the exact count; p is rounded to
-    6 digits, error ≤ n·5e-7 < 0.5). The corpus is pure ASCII (probed
-    at every sf), so DuckDB's per-CHAR ord() equals the per-BYTE value
-    the kernel bins."""
+    is posexploded to (bin, bin_count) rows so parity is float-free.
+    bin_count comes from the kernel's INTEGER count output (r3 ADVICE:
+    the old round(p·n) reconstruction was only exact for payloads under
+    1e6 bytes — p carries 6 digits — and would have silently broken
+    parity on a ≥1 MB document; the counts are size-independent). The
+    corpus is pure ASCII (probed at every sf), so DuckDB's per-CHAR
+    ord() equals the per-BYTE value the kernel bins."""
     from pyspark.sql import functions as F
 
     from docling_pdf_spark.operators.multimodal import media_features
 
     _ship_package(spark)
-    return (
-        media_features(_multimodal_assets(spark, sf_dir, "image"))
-        .select(
-            "media_ref",
-            "media_kind",
-            "n_bytes",
-            F.posexplode("byte_hist").alias("bin", "p"),
-        )
-        .select(
-            "media_ref",
-            "media_kind",
-            "n_bytes",
-            "bin",
-            F.round(F.col("p") * F.col("n_bytes")).cast("long").alias("bin_count"),
-        )
+    return media_features(_multimodal_assets(spark, sf_dir, "image")).select(
+        "media_ref",
+        "media_kind",
+        "n_bytes",
+        F.posexplode("byte_hist_counts").alias("bin", "bin_count"),
     )
 
 
@@ -599,10 +656,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["winnow_pairs_portable"] = _winnow_pairs_portable
     q["minhash_lsh_portable"] = _minhash_lsh_portable
     q["simhash_portable"] = _simhash_portable
-    # non-SQL-expressible fast paths (xxhash64) — driver records the
-    # weaker rows-only check; full correctness is covered by tests/
+    # xxhash64/centroid fast paths — exactly oracled since round 4 via
+    # hash materialization (the entry writes the Spark-computed hash
+    # artifacts to parquet; generated SQL replays everything downstream
+    # of the hash). The hash/training itself stays pytest-gated
     # (LSH recall, IVF recall, subset invariants) and each family is
-    # anchored by its portable oracled twin above
+    # additionally anchored by its portable oracled twin above.
     q["minhash_lsh_dedup"] = _minhash_lsh
     q["simhash_near_dups"] = _simhash_near_dups
     q["ivf_ann_topk"] = _ivf_ann_topk
@@ -647,6 +706,47 @@ def oracle_sql() -> dict[str, str]:
 
     o["ivf_ann_topk_exhaustive"] = SQL_ANN_COSINE_TOPK
     o["embedding_near_dups_exhaustive"] = SQL_EMBEDDING_NEAR_DUPS
+    # hash-materialization oracles (r3 VERDICT #3): DuckDB reads the
+    # Spark-written hash artifacts under _MAT_ROOT and replays the
+    # pipeline downstream of the hash. The driver oracles at sf0.01,
+    # and each entry writes its artifacts eagerly before returning, so
+    # the parquet exists by the time the SQL runs.
+    from docling_pdf_spark.operators.dedup import (
+        lsh_materialized_oracle_sql,
+        simhash_materialized_oracle_sql,
+    )
+
+    mat = f"{_MAT_ROOT}/sf0.01"
+    o["minhash_lsh_dedup"] = lsh_materialized_oracle_sql(
+        f"{mat}/minhash_melted/*.parquet", threshold=0.3
+    )
+    o["simhash_near_dups"] = simhash_materialized_oracle_sql(
+        f"{mat}/simhash_melted/*.parquet", max_hamming=8
+    )
+    o["ivf_ann_topk"] = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), (SELECT qv FROM q)), 4) AS sim
+FROM read_parquet('{mat}/ivf_assign/*.parquet') a
+WHERE a.bucket IN (SELECT centroid_id FROM read_parquet('{mat}/ivf_probes/*.parquet'))
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
+    from docling_pdf_spark.conf import MAX_LSH_BUCKET
+
+    _nd_sim = (
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 4)"
+    )
+    o["embedding_near_dups_bucketed"] = f"""
+WITH capped AS (
+  SELECT * FROM read_parquet('{mat}/nd_assign_multi/*.parquet')
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= {MAX_LSH_BUCKET}
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {_nd_sim} AS cos_sim
+FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_nd_sim} >= 0.3
+"""
     o["multimodal_byte_histogram"] = SQL_MULTIMODAL_BYTE_HISTOGRAM
     o["multimodal_thumbnails"] = SQL_MULTIMODAL_THUMBNAILS
     o["multimodal_frame_index"] = SQL_MULTIMODAL_FRAMES

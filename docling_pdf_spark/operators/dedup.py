@@ -105,18 +105,18 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_melted(
     sigs: DataFrame,
     num_hashes: int = 32,
     bands: int = 8,
     id_col: str = "doc_id",
-    max_bucket: int = MAX_LSH_BUCKET,
 ) -> DataFrame:
-    """Band the signature matrix (bands × rows), bucket-join on band
-    hash, return candidate pairs with the minhash-estimated Jaccard.
-
-    Buckets above max_bucket are excluded from the join (mega-bucket
-    guard; measure dropped mass with bucket_cap_stats)."""
+    """(id, sig array<long>, bucket long) — one row per (doc, band):
+    the banded signature matrix BEFORE the mega-bucket cap. Split out
+    of lsh_candidate_pairs so the driver entry can materialize exactly
+    this table to parquet and oracle everything downstream of the
+    xxhash64 (cap, bucket join, pair dedupe, Jaccard estimate) in
+    DuckDB (lsh_materialized_oracle_sql)."""
     rows = num_hashes // bands
     band_cols = [
         F.xxhash64(F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(
@@ -125,11 +125,21 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     banded = sigs.select(id_col, *[F.col(f"mh_{i}") for i in range(num_hashes)], *band_cols)
-    melted = banded.select(
+    return banded.select(
         id_col,
         F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("bucket"),
     )
+
+
+def lsh_pairs_from_melted(
+    melted: DataFrame,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """Everything downstream of the hash: mega-bucket cap, bucket
+    self-join, pair dedupe, signature-match Jaccard estimate."""
     melted = _cap_buckets(melted, ["bucket"], max_bucket)
     a = melted.alias("a")
     b = melted.alias("b")
@@ -157,6 +167,57 @@ def lsh_candidate_pairs(
         / F.lit(float(num_hashes))
     )
     return pairs.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """Band the signature matrix (bands × rows), bucket-join on band
+    hash, return candidate pairs with the minhash-estimated Jaccard.
+
+    Buckets above max_bucket are excluded from the join (mega-bucket
+    guard; measure dropped mass with bucket_cap_stats)."""
+    return lsh_pairs_from_melted(
+        lsh_melted(sigs, num_hashes, bands, id_col), num_hashes, id_col, max_bucket
+    )
+
+
+def lsh_materialized_oracle_sql(
+    melted_glob: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> str:
+    """DuckDB oracle for lsh_pairs_from_melted over a MATERIALIZED
+    melted table (the hash-materialization pattern, r3 VERDICT #3):
+    DuckDB cannot compute xxhash64, but it can READ the Spark-computed
+    (doc_id, sig, bucket) parquet, so the cap, the bucket join, the
+    pair dedupe, the signature-match estimate and the threshold are
+    all exactly checked; only the hash itself stays pytest-gated.
+    Generated so the cap and hash count are shared with the Spark plan
+    by construction."""
+    matches = " + ".join(
+        f"CAST(sig_a[{i + 1}] = sig_b[{i + 1}] AS INT)" for i in range(num_hashes)
+    )
+    return f"""
+WITH capped AS (
+  SELECT * FROM read_parquet('{melted_glob}')
+  QUALIFY count(*) OVER (PARTITION BY bucket) <= {max_bucket}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM capped a JOIN capped b
+    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(({matches}) / {float(num_hashes)}, 4) AS est_jaccard
+FROM pairs
+WHERE round(({matches}) / {float(num_hashes)}, 4) >= {threshold}
+"""
 
 
 def minhash_lsh_dedup(
@@ -403,10 +464,29 @@ def embedding_near_dups_bucketed(
     measured in tests; k-means centroids + nprobe=2 recover planted
     cos≥0.9 dup pairs at ≥0.8 recall). Buckets above max_bucket are
     excluded from the join (mega-bucket guard)."""
-    from docling_pdf_spark.functions.vectors import cosine_similarity
     from docling_pdf_spark.operators.similarity import ivf_assign_multi
 
-    assigned = ivf_assign_multi(vectors, centroids, nprobe, id_col, vec_col).select(
+    assigned = ivf_assign_multi(vectors, centroids, nprobe, id_col, vec_col)
+    return embedding_pairs_from_assigned(
+        assigned, threshold, id_col, vec_col, max_bucket
+    )
+
+
+def embedding_pairs_from_assigned(
+    assigned: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """Everything downstream of the centroid assignment: mega-bucket
+    cap, per-bucket quadratic join, exact float64 cosine, threshold,
+    cross-bucket pair dedupe. Split out so the driver entry can
+    materialize the (id, vector, bucket) assignment to parquet and
+    oracle this whole stage in DuckDB."""
+    from docling_pdf_spark.functions.vectors import cosine_similarity
+
+    assigned = assigned.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), "bucket"
     )
     assigned = _cap_buckets(assigned, ["bucket"], max_bucket)
@@ -562,27 +642,17 @@ WHERE bit_count(xor(fa, fb)) <= {max_hamming}
 """
 
 
-def simhash_near_dups(
+def simhash_melted(
     fps: DataFrame,
     max_hamming: int = 3,
     id_col: str = "doc_id",
-    max_bucket: int = MAX_LSH_BUCKET,
     n_chunks: int | None = None,
 ) -> DataFrame:
-    """Candidate pairs via equality on any bit-chunk of the fingerprint
-    (Manku et al. WWW'07), verified with bit_count(xor) ≤ max_hamming.
-
-    Pigeonhole guarantee: with n_chunks = max_hamming + 1 (the default),
-    ≤ max_hamming differing bits cannot touch every chunk, so every
-    true near-dup pair shares at least one chunk bucket — round 1 used
-    a fixed 4 chunks, which silently broke the guarantee for
-    max_hamming > 3. More chunks = shorter chunks = fuller buckets (the
-    recall/candidate-volume dial Manku's multi-table split turns).
-
-    Chunk buckets above max_bucket are excluded (a w-bit chunk space has
-    only 2^w values, so at corpus scale every bucket is b²-quadratic
-    without the cap; dropped mass via bucket_cap_stats on the melted
-    (chunk_idx, chunk) table)."""
+    """(id, simhash, chunk_idx, chunk) — the fingerprint chunk table
+    BEFORE the mega-bucket cap (one row per (doc, chunk)). Split out of
+    simhash_near_dups so the driver entry can materialize exactly this
+    table and oracle everything downstream of the hash in DuckDB
+    (simhash_materialized_oracle_sql)."""
     if n_chunks is None:
         if max_hamming > 20:  # 64 bits / 21 chunks = 3-bit chunks, the floor
             raise ValueError(
@@ -609,9 +679,19 @@ def simhash_near_dups(
         return F.shiftrightunsigned(F.col("simhash"), width * c).bitwiseAND(F.lit(m))
 
     chunks = F.array(*[chunk(c).alias(f"c{c}") for c in range(b)])
-    melted = fps.select(
+    return fps.select(
         id_col, "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk")
     )
+
+
+def simhash_pairs_from_melted(
+    melted: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """Everything downstream of the hash: mega-bucket cap, chunk-bucket
+    self-join, pair dedupe, Hamming verify via bit_count(xor)."""
     melted = _cap_buckets(melted, ["chunk_idx", "chunk"], max_bucket)
     a = melted.alias("a")
     b = melted.alias("b")
@@ -636,3 +716,59 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_near_dups(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int = MAX_LSH_BUCKET,
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Candidate pairs via equality on any bit-chunk of the fingerprint
+    (Manku et al. WWW'07), verified with bit_count(xor) ≤ max_hamming.
+
+    Pigeonhole guarantee: with n_chunks = max_hamming + 1 (the default),
+    ≤ max_hamming differing bits cannot touch every chunk, so every
+    true near-dup pair shares at least one chunk bucket — round 1 used
+    a fixed 4 chunks, which silently broke the guarantee for
+    max_hamming > 3. More chunks = shorter chunks = fuller buckets (the
+    recall/candidate-volume dial Manku's multi-table split turns).
+
+    Chunk buckets above max_bucket are excluded (a w-bit chunk space has
+    only 2^w values, so at corpus scale every bucket is b²-quadratic
+    without the cap; dropped mass via bucket_cap_stats on the melted
+    (chunk_idx, chunk) table)."""
+    return simhash_pairs_from_melted(
+        simhash_melted(fps, max_hamming, id_col, n_chunks),
+        max_hamming,
+        id_col,
+        max_bucket,
+    )
+
+
+def simhash_materialized_oracle_sql(
+    melted_glob: str,
+    max_hamming: int = 8,
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> str:
+    """DuckDB oracle for simhash_pairs_from_melted over a MATERIALIZED
+    chunk table (hash-materialization pattern, r3 VERDICT #3): the
+    xxhash64 fingerprints are read back from Spark-written parquet, so
+    the cap, the chunk-bucket join, the pair dedupe and the
+    bit_count(xor) Hamming verify are exactly checked; the hash itself
+    stays pytest-gated."""
+    return f"""
+WITH capped AS (
+  SELECT * FROM read_parquet('{melted_glob}')
+  QUALIFY count(*) OVER (PARTITION BY chunk_idx, chunk) <= {max_bucket}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS fa, b.simhash AS fb
+  FROM capped a JOIN capped b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(fa, fb)) AS hamming
+FROM pairs
+WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+"""

@@ -37,6 +37,11 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_kind", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("byte_hist", T.ArrayType(T.DoubleType()), True),  # 16 bins
+        # integer bin counts alongside the probabilities: the oracle
+        # reconstruction round(p·n) is only exact for n < 1e6 bytes
+        # (p carries 6 digits), so exact checks use the counts and stay
+        # size-independent (r3 ADVICE)
+        T.StructField("byte_hist_counts", T.ArrayType(T.LongType()), True),
         T.StructField("byte_entropy", T.DoubleType(), True),
     ]
 )
@@ -90,18 +95,21 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = []
         for ref, kind, data in zip(b["media_ref"], b["media_kind"], b["data"]):
             if data is None:
-                out.append((ref, kind, 0, [0.0] * HIST_BINS, 0.0))
+                out.append((ref, kind, 0, [0.0] * HIST_BINS, [0] * HIST_BINS, 0.0))
                 continue
             arr = np.frombuffer(data, dtype=np.uint8)
-            hist = np.bincount(arr >> 4, minlength=HIST_BINS).astype(np.float64)
+            counts = np.bincount(arr >> 4, minlength=HIST_BINS)
+            hist = counts.astype(np.float64)
             total = float(hist.sum()) or 1.0
             p = hist / total
             nz = p[p > 0]
             entropy = float(-(nz * np.log2(nz)).sum())
             out.append((ref, kind, int(arr.size), [round(x, 6) for x in p.tolist()],
-                        round(entropy, 6)))
+                        [int(c) for c in counts.tolist()], round(entropy, 6)))
         yield pd.DataFrame(
-            out, columns=["media_ref", "media_kind", "n_bytes", "byte_hist", "byte_entropy"]
+            out,
+            columns=["media_ref", "media_kind", "n_bytes", "byte_hist",
+                     "byte_hist_counts", "byte_entropy"],
         )
 
 

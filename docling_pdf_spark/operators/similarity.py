@@ -200,6 +200,45 @@ def kmeans_centroids(
     return spark.createDataFrame(cents, ["centroid_id", "centroid"])
 
 
+def text_embedding(
+    docs: DataFrame,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing text embedding (the 'hashing trick', Weinberger
+    et al. ICML'09): every token adds ±1 (sign from a second hash) to
+    bucket xxhash64(token) mod dim; the vector is L2-normalized.
+    Deterministic and pure JVM — one explode, one (id, bucket) partial
+    agg, one map rebuild per doc — so it scales like any token
+    aggregate. This is the stand-in embedder that lets embedding-space
+    operators (IVF bucketing, cosine near-dup) run end-to-end where no
+    model service exists; a real pipeline swaps in model vectors by
+    replacing this single stage."""
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+    ).where(F.col("w") != "")
+    bucket = F.pmod(F.xxhash64("w"), F.lit(dim)).cast("int")
+    sign = (F.pmod(F.xxhash64("w", F.lit(1)), F.lit(2)) * 2 - 1).cast("double")
+    per = (
+        tok.select(F.col(id_col), bucket.alias("b"), sign.alias("s"))
+        .groupBy(id_col, "b")
+        .agg(F.sum("s").alias("v"))
+    )
+    m = per.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
+    )
+    norm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(
+        dense, lambda x: x / F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    )
+    return m.select(F.col(id_col), unit.alias("embedding"))
+
+
 def ivf_assign_multi(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -240,6 +279,26 @@ def ivf_assign_multi(
     )
 
 
+def rank_probes(
+    centroids: DataFrame, query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The nprobe centroid ids nearest the query (cosine, ties by id) —
+    the driver-side probe choice ivf_cosine_topk scans. Exposed so the
+    oracled driver entry can materialize the chosen probes alongside
+    the assignment table."""
+    q = F.lit(query_vec).cast("array<double>")
+    c = F.col("centroid").cast("array<double>")
+    return [
+        r["centroid_id"]
+        for r in centroids.select(
+            "centroid_id", (_dot(c, q) / (_norm(c) * _norm(q))).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+
+
 def ivf_cosine_topk(
     assigned: DataFrame,
     centroids: DataFrame,
@@ -258,17 +317,8 @@ def ivf_cosine_topk(
     bucket) — the exhaustive-probe equivalence the oracled driver entry
     uses to prove the IVF machinery (assignment, pruning, ranking)
     correct, leaving only the approximation itself unoracled."""
+    probe_ids = rank_probes(centroids, query_vec, nprobe)
     q = F.lit(query_vec).cast("array<double>")
-    c = F.col("centroid").cast("array<double>")
-    probe_ids = [
-        r["centroid_id"]
-        for r in centroids.select(
-            "centroid_id", (_dot(c, q) / (_norm(c) * _norm(q))).alias("sim")
-        )
-        .orderBy(F.desc("sim"), F.asc("centroid_id"))
-        .limit(nprobe)
-        .collect()
-    ]
     v = F.col(vec_col).cast("array<double>")
     sim = _dot(v, q) / (_norm(v) * _norm(q))
     return (

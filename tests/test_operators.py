@@ -212,6 +212,11 @@ def test_media_features_plumbing(spark, tmp_path):
         assert abs(sum(r["byte_hist"]) - 1.0) < 1e-4  # normalized histogram
         assert 0.0 <= r["byte_entropy"] <= 4.0 + 1e-6  # 16 bins → ≤ 4 bits
         assert r["n_bytes"] > 0
+        # integer counts are exact and size-independent (r3 ADVICE):
+        # they sum to n_bytes and agree with the rounded probabilities
+        assert sum(r["byte_hist_counts"]) == r["n_bytes"]
+        for p, c in zip(r["byte_hist"], r["byte_hist_counts"]):
+            assert abs(p - c / r["n_bytes"]) < 1e-6
 
 
 def test_decode_stubs_are_marked(spark):
