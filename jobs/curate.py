@@ -42,12 +42,16 @@ def curate(
     jaccard: float = 0.8,
     num_partitions: int | None = None,
     near_dup: str = "minhash",
+    cosine: float = 0.9,
 ):
     """documents → curated extracted corpus; returns the funnel dict.
 
-    near_dup: 'minhash' (word-level Jaccard estimate ≥ `jaccard`) or
+    near_dup: 'minhash' (word-level Jaccard estimate ≥ `jaccard`),
     'winnow' (shared winnowed rolling-hash fingerprints — catches
-    partial-passage reuse a whole-doc similarity score dilutes away)."""
+    partial-passage reuse a whole-doc similarity score dilutes away),
+    or 'embedding' (feature-hashed text vectors, IVF-bucketed cosine
+    pairs ≥ `cosine` — the embedding-space path; swap the hashing-trick
+    embedder for model vectors to dedupe semantically)."""
     from pyspark.sql import functions as F
 
     from docling_pdf_spark.functions.text import digit_ratio, token_count
@@ -108,6 +112,22 @@ def curate(
         # ~all of the smaller doc's fingerprint set (planted one-word
         # edit measures 0.94) — whole-doc dedup wants near-total reuse
         pairs = winnow_near_dup_pairs(texts, min_shared=3, min_containment=0.9)
+    elif near_dup == "embedding":
+        # embed → train coarse centroids (bounded hash-residue sample) →
+        # multi-probe IVF bucketing → per-bucket exact cosine. The only
+        # broadcast is the collected n×dim centroid list (bounded by
+        # construction); the pair/drop side stays un-broadcast for AQE.
+        from docling_pdf_spark.operators.dedup import embedding_near_dups_bucketed
+        from docling_pdf_spark.operators.similarity import (
+            kmeans_centroids,
+            text_embedding,
+        )
+
+        emb = text_embedding(texts, dim=32, id_col="doc_id", text_col="text")
+        cents = kmeans_centroids(emb, n=16, iters=3, id_col="doc_id")
+        pairs = embedding_near_dups_bucketed(
+            emb, cents, threshold=cosine, id_col="doc_id", nprobe=2
+        ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     else:
         raise ValueError(f"unknown near_dup mode: {near_dup}")
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
@@ -143,10 +163,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-tokens", type=int, default=10)
     ap.add_argument("--max-digit-ratio", type=float, default=0.3)
     ap.add_argument("--jaccard", type=float, default=0.8)
-    ap.add_argument("--near-dup", choices=("minhash", "winnow"), default="minhash",
+    ap.add_argument("--cosine", type=float, default=0.9,
+                    help="cosine threshold for --near-dup embedding")
+    ap.add_argument("--near-dup", choices=("minhash", "winnow", "embedding"),
+                    default="minhash",
                     help="near-dup detector: whole-doc Jaccard estimate "
-                         "(minhash) or shared rolling-hash fingerprints "
-                         "for partial-passage reuse (winnow)")
+                         "(minhash), shared rolling-hash fingerprints "
+                         "for partial-passage reuse (winnow), or "
+                         "IVF-bucketed embedding cosine (embedding)")
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--local-cores", type=int, default=None)
     ap.add_argument("--gen-docs", type=int, default=None,
@@ -173,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
         jaccard=args.jaccard,
         num_partitions=args.num_partitions,
         near_dup=args.near_dup,
+        cosine=args.cosine,
     )
     funnel["elapsed_sec"] = round(time.perf_counter() - t0, 3)
     funnel["status"] = "done"
