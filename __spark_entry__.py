@@ -5,9 +5,11 @@ entry(spark)  — flagship extraction: derive an interleaved span table
                 the full mapInPandas extraction pipeline over it.
 queries()     — one entry per implemented operator (SURVEY.md §2 +
                 training-data ops); each (spark, sf_dir) → DataFrame.
-oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible entry;
-                non-SQL ops (the extraction UDF pipeline itself) get
-                the rows-only check.
+oracle_sql()  — DuckDB-equivalent SQL for EVERY entry (48/48 since
+                round 4): SQL-expressible ops directly; hash-gated ops
+                (xxhash64 LSH/SimHash, IVF) via hash materialization —
+                the entry writes its Spark-computed hash artifacts to
+                parquet and generated SQL replays everything downstream.
 """
 
 from __future__ import annotations
@@ -377,7 +379,7 @@ def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash-LSH pipeline with engine-portable hashing — the
     variant the driver can check EXACTLY against DuckDB (the xxhash64
-    fast path above stays rows-only; same plan family)."""
+    fast path's hash stays pytest-gated; same plan family)."""
     from docling_pdf_spark.operators.dedup import minhash_lsh_dedup_portable
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -453,7 +455,8 @@ def _ivf_ann_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one bucket, so the IVF result must equal q_ann_cosine_topk —
     which already has DuckDB SQL. This entry proves the IVF machinery
     (assignment argmax, bucket pruning, in-bucket ranking) EXACT; the
-    approximate nprobe<n path stays rows-only, recall-gated in tests."""
+    approximate nprobe<n path is oracled through its materialized
+    assignment/probes (_ivf_ann_topk) and recall-gated in tests."""
     from pyspark.sql import functions as F
 
     from docling_pdf_spark.operators.similarity import (

@@ -235,8 +235,9 @@ def minhash_lsh_dedup(
 
 
 # ------------------------------------------- portable (oracle-checkable)
-# MinHash variant: xxhash64 has no DuckDB equivalent, so the fast path
-# above is only rows-only checkable. This variant derives every minhash
+# MinHash variant: xxhash64 has no DuckDB equivalent, so the fast path's
+# HASH cannot be SQL-checked (its downstream pipeline is, via
+# lsh_materialized_oracle_sql). This variant derives every minhash
 # from ONE engine-portable base hash per shingle (low 60 bits of md5,
 # the same trick operators/winnow.py uses) via the textbook universal
 # affine family h_i(x) = (a_i·x + b_i) mod p over the Mersenne prime
@@ -511,8 +512,9 @@ def embedding_pairs_from_assigned(
 # ---------------------------------------------------------------- simhash
 # Two fingerprint variants share one candidate-pair engine
 # (simhash_near_dups):
-#   * simhash_fingerprints — xxhash64 per token (fast path, rows-only
-#     driver check, recall gated in tests);
+#   * simhash_fingerprints — xxhash64 per token (fast path; hash
+#     pytest-gated, downstream pipeline oracled via
+#     simhash_materialized_oracle_sql, recall gated in tests);
 #   * simhash_fingerprints_portable — 60-bit md5-low hash per token
 #     (functions/hashing.py, the same base the portable MinHash uses),
 #     which DuckDB reproduces bit-for-bit, so the whole

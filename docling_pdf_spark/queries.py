@@ -718,7 +718,8 @@ FROM part GROUP BY 1
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact baseline; IVF-bucketed
-    variant is the rows-only `embedding_near_dups_bucketed` entry)."""
+    variant is the `embedding_near_dups_bucketed` entry, oracled via
+    materialized assignments since round 4)."""
     from docling_pdf_spark.operators.dedup import embedding_near_dups
 
     return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
