@@ -339,7 +339,11 @@ def _winnow_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MAT_ROOT = "/tmp/spark_graft_oracle_mat"
+# repo-local, not /tmp: a predictable world-writable /tmp path could be
+# pre-created/poisoned by another user and is never cleaned (review-found)
+_MAT_ROOT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".oracle_mat"
+)
 
 
 def _mat_path(sf_dir: str, name: str) -> str:
@@ -348,7 +352,9 @@ def _mat_path(sf_dir: str, name: str) -> str:
     fingerprints, bucket assignments) here and its generated oracle SQL
     reads them back, making everything DOWNSTREAM of the unportable
     hash exactly DuckDB-checkable. Keyed by the sf basename so a bench
-    run at sf0.1 cannot clobber the sf0.01 artifacts mid-compare."""
+    run at sf0.1 cannot clobber the sf0.01 artifacts mid-compare.
+    oracle_sql() derives its read paths through this same helper (the
+    driver's oracle compare runs at sf0.01 by contract)."""
     return f"{_MAT_ROOT}/{os.path.basename(os.path.normpath(sf_dir))}/{name}"
 
 
@@ -441,11 +447,16 @@ def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     apath = _mat_path(sf_dir, "ivf_assign")
     ivf_assign(emb, cents).write.mode("overwrite").parquet(apath)
     ppath = _mat_path(sf_dir, "ivf_probes")
+    # computed once and passed through: the materialized probes the
+    # oracle reads ARE the probes the returned query scans (review-found:
+    # two independent rank_probes calls could silently decouple)
+    probes = rank_probes(cents, qv, 4)
     spark.createDataFrame(
-        [(p,) for p in rank_probes(cents, qv, 4)], "centroid_id int"
+        [(p,) for p in probes], "centroid_id int"
     ).write.mode("overwrite").parquet(ppath)
     return ivf_cosine_topk(
-        spark.read.parquet(apath), cents, qv, k=10, nprobe=4, sim_round=4
+        spark.read.parquet(apath), cents, qv, k=10, nprobe=4, sim_round=4,
+        probe_ids=probes,
     )
 
 
@@ -719,7 +730,7 @@ def oracle_sql() -> dict[str, str]:
         simhash_materialized_oracle_sql,
     )
 
-    mat = f"{_MAT_ROOT}/sf0.01"
+    mat = os.path.dirname(_mat_path("sf0.01", "x"))
     o["minhash_lsh_dedup"] = lsh_materialized_oracle_sql(
         f"{mat}/minhash_melted/*.parquet", threshold=0.3
     )

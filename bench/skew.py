@@ -106,6 +106,11 @@ def main() -> int:
     ap.add_argument("--cores", type=int, default=16)
     ap.add_argument("--modes", nargs="+", default=["auto", "full", "heavy"])
     ap.add_argument("--layouts", nargs="+", default=["sorted", "mixed"])
+    ap.add_argument("--trials", type=int, default=1,
+                    help="runs per (layout, mode); the row with the "
+                         "MEDIAN max/median ratio is printed (damps "
+                         "single-straggler host noise — r3 VERDICT #2: "
+                         "one-sample cells produced contradictory rows)")
     args = ap.parse_args()
 
     from bench import ensure_corpus  # bench.py's generator-hash-keyed cache
@@ -158,9 +163,27 @@ def main() -> int:
                 df = base.repartition(args.cores * 2, "doc_id")
             df.write.mode("overwrite").parquet(path)
         docs = spark.read.parquet(path)
+        # fault the layout's pages into the OS cache before ANY timed
+        # mode: the first mode otherwise pays cold reads the later modes
+        # don't (noop write decodes every column; count() alone would be
+        # satisfied from parquet metadata)
+        docs.write.format("noop").mode("overwrite").save()
         for mode in args.modes:
-            rep = run_mode(spark, docs, mode, num_partitions=args.cores * 3)
-            rep["layout"] = layout
+            reps = []
+            for _ in range(args.trials):
+                rep = run_mode(spark, docs, mode, num_partitions=args.cores * 3)
+                rep["layout"] = layout
+                reps.append(rep)
+            # chronological ratios BEFORE sorting: run order is the
+            # signal that separates a cold/steal-poisoned first trial
+            # from random noise (review-found)
+            run_order = [r["max_over_median"] for r in reps]
+            reps.sort(key=lambda r: (r["max_over_median"] is None,
+                                     r["max_over_median"]))
+            rep = reps[len(reps) // 2]
+            if args.trials > 1:
+                rep["trials"] = args.trials
+                rep["trial_ratios"] = run_order
             print(json.dumps(rep))
     spark.stop()
     return 0

@@ -233,10 +233,18 @@ def text_embedding(
         lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
     )
     norm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.transform(
-        dense, lambda x: x / F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    # a doc whose bucket votes fully cancel embeds to the zero vector;
+    # it carries no signal AND every downstream cosine would divide by
+    # its zero norm (ANSI mode → DIVIDE_BY_ZERO aborts the job —
+    # review-found), so such docs are excluded here at the source
+    return (
+        m.select(F.col(id_col), dense.alias("d"), norm.alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            F.col(id_col),
+            F.transform(F.col("d"), lambda x: x / F.col("n")).alias("embedding"),
+        )
     )
-    return m.select(F.col(id_col), unit.alias("embedding"))
 
 
 def ivf_assign_multi(
@@ -308,16 +316,22 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_round: int = 6,
+    probe_ids: list[int] | None = None,
 ) -> DataFrame:
     """ANN query: rank centroids vs the query, scan only the nprobe
     best buckets (partition pruning at scale), exact top-k inside.
+    Pass probe_ids to reuse an already-computed rank_probes() result
+    (one driver-side collect instead of two when the caller also
+    materializes the probes, and caller + query are then guaranteed to
+    scan the same buckets).
 
     With nprobe >= n_centroids every bucket is scanned, so the result
     is EXACTLY the brute-force top-k (every vector sits in exactly one
     bucket) — the exhaustive-probe equivalence the oracled driver entry
     uses to prove the IVF machinery (assignment, pruning, ranking)
     correct, leaving only the approximation itself unoracled."""
-    probe_ids = rank_probes(centroids, query_vec, nprobe)
+    if probe_ids is None:
+        probe_ids = rank_probes(centroids, query_vec, nprobe)
     q = F.lit(query_vec).cast("array<double>")
     v = F.col(vec_col).cast("array<double>")
     sim = _dot(v, q) / (_norm(v) * _norm(q))

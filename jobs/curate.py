@@ -61,6 +61,7 @@ def curate(
 
     docs = spark.read.parquet(input_path)
     n_input = docs.count()
+    emb_cached = None
 
     extracted = extract(docs, num_partitions=num_partitions)
     # full_text for the text operators: re-join the text spans (JVM)
@@ -123,7 +124,14 @@ def curate(
             text_embedding,
         )
 
-        emb = text_embedding(texts, dim=32, id_col="doc_id", text_col="text")
+        # persist: centroid training (sample count, seeds, Lloyd
+        # iterations), the multi-probe assignment and both sides of the
+        # per-bucket self-join would otherwise each recompute the full
+        # tokenize→explode→double-groupBy embedding DAG (review-found:
+        # ~6-8 passes of the funnel's most expensive derived stage)
+        emb = emb_cached = text_embedding(
+            texts, dim=32, id_col="doc_id", text_col="text"
+        ).persist()
         cents = kmeans_centroids(emb, n=16, iters=3, id_col="doc_id")
         pairs = embedding_near_dups_bucketed(
             emb, cents, threshold=cosine, id_col="doc_id", nprobe=2
@@ -138,6 +146,8 @@ def curate(
     curated = exact.join(drop, "doc_id", "left_anti").drop("full_text")
     curated.write.mode("overwrite").parquet(output_path)
     ok.unpersist()
+    if emb_cached is not None:
+        emb_cached.unpersist()
 
     n_curated = spark.read.parquet(output_path).count()
     return {

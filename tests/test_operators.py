@@ -633,3 +633,41 @@ def test_ngram_query_cap_is_inert_at_oracle_sf(spark):
         shingles(docs).groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
     )
     assert max_bucket < MAX_LSH_BUCKET / 10  # observed 3 vs cap 512
+
+
+def test_text_embedding_excludes_zero_vectors(spark):
+    """Review-found: a doc whose bucket votes fully cancel embeds to
+    the exact zero vector, and every downstream cosine divides by its
+    zero norm (ANSI mode -> DIVIDE_BY_ZERO aborts the job). Such docs
+    are excluded at the source; the pipeline must run clean on a corpus
+    containing one."""
+    from docling_pdf_spark.operators.dedup import embedding_near_dups
+    from docling_pdf_spark.operators.similarity import text_embedding
+
+    # find two tokens sharing a hash bucket with opposite signs, using
+    # the embedder's own hash expressions
+    toks = spark.createDataFrame([(f"tok{i}",) for i in range(400)], ["w"])
+    info = toks.select(
+        "w",
+        F.pmod(F.xxhash64("w"), F.lit(32)).cast("int").alias("b"),
+        (F.pmod(F.xxhash64("w", F.lit(1)), F.lit(2)) * 2 - 1).alias("s"),
+    ).collect()
+    seen: dict = {}
+    pair = None
+    for r in info:
+        if (r["b"], -r["s"]) in seen:
+            pair = (seen[(r["b"], -r["s"])], r["w"])
+            break
+        seen[(r["b"], r["s"])] = r["w"]
+    assert pair is not None, "no cancelling token pair in 400 candidates"
+    cancelling = " ".join([pair[0], pair[1]] * 6)  # 12 tokens, net-zero votes
+
+    docs = spark.createDataFrame(
+        [("zero", cancelling), ("a", BASE), ("b", BASE.replace("lazy", "sleepy"))],
+        ["doc_id", "text"],
+    )
+    emb = text_embedding(docs, dim=32)
+    assert {r["doc_id"] for r in emb.select("doc_id").collect()} == {"a", "b"}
+    # downstream cosine runs clean and still finds the planted pair
+    pairs = embedding_near_dups(emb, threshold=0.9, id_col="doc_id").collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {("a", "b")}
