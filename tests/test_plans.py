@@ -254,3 +254,21 @@ def test_detector_survives_sparse_per_split_samples(spark):
     # hash-mixed control: same docs, same sparse sample — must stay False
     mixed = spark.range(20000, numPartitions=200).repartition(200, "id")
     assert not detect_cost_sorted(spans(mixed), sample_fraction=0.01)
+
+
+def test_text_embedding_is_single_shuffle_with_partial_agg(spark):
+    """The feature-hash embedder must cost exactly one exchange (on the
+    doc id) with a map-side partial aggregate reducing the exploded
+    token stream to |docs|×dim before the shuffle — the same shape as
+    the SimHash bit votes. A groupBy(id, bucket) → groupBy(id) plan
+    would be two exchanges of token-scale data."""
+    from docling_pdf_spark.operators.similarity import text_embedding
+    from docling_pdf_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = formatted_plan(text_embedding(docs, dim=32))
+    # "Exchange (n)" is the tree node; the detail section repeats it as
+    # "(n) Exchange" — count tree nodes only
+    assert plan.count("Exchange (") == 1
+    assert "partial_sum" in plan
+    assert "Python" not in plan
