@@ -5,7 +5,7 @@ entry(spark)  — flagship extraction: derive an interleaved span table
                 the full mapInPandas extraction pipeline over it.
 queries()     — one entry per implemented operator (SURVEY.md §2 +
                 training-data ops); each (spark, sf_dir) → DataFrame.
-oracle_sql()  — DuckDB-equivalent SQL for EVERY entry (48/48 since
+oracle_sql()  — DuckDB-equivalent SQL for EVERY entry (51/51 since
                 round 4): SQL-expressible ops directly; hash-gated ops
                 (xxhash64 LSH/SimHash, IVF) via hash materialization —
                 the entry writes its Spark-computed hash artifacts to

@@ -1026,6 +1026,155 @@ WHERE value IS NOT NULL
 """
 
 
+PACK_CONTEXT = 2048  # tokens per training sequence
+PACK_SHARDS = 8
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concatenate-and-chunk step that turns a
+    document corpus into fixed-length training sequences (GPT-style
+    packing): within a shard, docs concatenate in doc_id order and a
+    doc starting at running token offset o lands in pack floor(o/C) at
+    offset o mod C (C = PACK_CONTEXT).
+
+    Scale shape: the running sum is a window PARTITIONED BY a
+    deterministic shard of the doc id, so packing parallelizes across
+    shards (each 100 TB shard packs independently; pack ids are
+    per-shard) instead of serializing the corpus through one global
+    cumulative sum — the single-partition window every naive packer
+    ships with."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_count("text")
+    shard = F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS))
+    w = (
+        Window.partitionBy(shard)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(toks).over(w) - toks
+    return docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        toks.cast("long").alias("n_tokens"),
+        F.floor(start / PACK_CONTEXT).cast("long").alias("pack_id"),
+        F.pmod(start, F.lit(PACK_CONTEXT)).cast("long").alias("pack_offset"),
+    )
+
+
+SQL_SEQUENCE_PACKING = rf"""
+WITH base AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM base
+)
+SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start // {PACK_CONTEXT} AS BIGINT) AS pack_id,
+       CAST(start % {PACK_CONTEXT} AS BIGINT) AS pack_offset
+FROM cum
+"""
+
+
+# per-language keep rates (per-mille): the language-rebalancing step of
+# a curation pipeline — upweight scarce languages by downsampling the
+# dominant ones deterministically
+STRATA_RATES_PM = {"en": 1000, "de": 500, "fr": 500, "zh": 250}
+STRATA_DEFAULT_PM = 100
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff
+    portable_hash('strat:' || doc_id) mod 1000 < rate(lang). No RNG, no
+    state — the same doc keeps/drops on any engine, any run, any subset
+    (the property random() samplers lose on retry/resume). The hash is
+    salted ('strat:') so the keep decision is independent of the
+    deterministic_split buckets derived from the same id."""
+    from docling_pdf_spark.functions.hashing import portable_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    h = portable_hash60(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))) % 1000
+    rate = F.lit(STRATA_DEFAULT_PM)
+    for lang, pm in STRATA_RATES_PM.items():
+        rate = F.when(F.col("lang") == lang, pm).otherwise(rate)
+    return docs.where(h < rate).select("doc_id", "lang", "source")
+
+
+_STRAT_H = PORTABLE_HASH60_SQL.format(x="'strat:' || CAST(doc_id AS VARCHAR)")
+_STRAT_RATE = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {pm}" for lang, pm in STRATA_RATES_PM.items()
+) + f" ELSE {STRATA_DEFAULT_PM} END"
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_STRAT_H} % 1000 < {_STRAT_RATE}
+"""
+
+
+DECON_GRAM_WORDS = 4  # published pipelines use 8-13 on natural text;
+# the synthetic corpus's short template sentences share no exact grams
+# past 5 words, so the driver check uses 4 (8 contaminated docs at
+# sf0.01 vs 0 at 8-grams — a 0-row entry would prove nothing)
+DECON_EVAL_MOD = 97  # doc_id % 97 == 0 → stand-in benchmark/eval set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — flag training documents that share
+    any word-n-gram with the held-out benchmark set (the n-gram-overlap
+    decontamination used for LLM training corpora). The stand-in eval
+    set is doc_id % 97 == 0.
+
+    Plan: distinct (doc, gram) on the training side, distinct grams on
+    the eval side; the eval side is tiny by construction (benchmarks
+    are ~10^6 grams at any corpus scale) → broadcast hash join on the
+    gram, then a per-doc count. At 100 TB the same plan holds: one
+    narrow gram pass over training data joined against a broadcast
+    eval-gram set — no corpus-scale shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    tokd = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    n = DECON_GRAM_WORDS
+    starts = F.when(
+        F.size("ws") >= n, F.sequence(F.lit(1), F.size("ws") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("ws"), i + k) for k in range(n)]
+    )
+    grams = tokd.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(starts, gram))).alias("g"),
+    )
+    is_eval = F.pmod(F.col("doc_id"), F.lit(DECON_EVAL_MOD)) == 0
+    eval_grams = grams.where(is_eval).select("g").distinct()
+    return (
+        grams.where(~is_eval)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         {" || ' ' || ".join(f"ws[gs+{k}]" for k in range(DECON_GRAM_WORDS))} AS g
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, len(ws) - {DECON_GRAM_WORDS - 2})) AS gs
+  ) u
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {DECON_EVAL_MOD} = 0
+)
+SELECT gr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM grams gr JOIN eval_grams e USING (g)
+WHERE gr.doc_id % {DECON_EVAL_MOD} <> 0
+GROUP BY gr.doc_id
+"""
+
+
 # =====================================================================
 # Catalog
 # =====================================================================
@@ -1066,6 +1215,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "json_props_rollup": (q_json_props_rollup, SQL_JSON_PROPS_ROLLUP),
     "deterministic_split": (q_deterministic_split, SQL_DETERMINISTIC_SPLIT),
     "unpivot_part_measures": (q_unpivot_part_measures, SQL_UNPIVOT_PART_MEASURES),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
 }
 
 
