@@ -60,23 +60,26 @@ def bucket_cap_stats(
     )
 
 
-def _gram_arrays(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, grams array<string>) — THE one word-5-gram kernel every
+def _gram_arrays(
+    docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_WORDS
+) -> DataFrame:
+    """(id, grams array<string>) — THE one word-n-gram kernel every
     shingling consumer derives from (hash-distinct and string-distinct
-    variants below must never drift apart).
+    variants below, and the decontamination gram pass, must never
+    drift apart).
 
     The token array is projected as its own column before the gram
     transform: inlining the split into the lambda makes codegen
-    re-evaluate it per element_at (5 × shingles/doc — measured 12×
+    re-evaluate it per element_at (n × shingles/doc — measured 12×
     slower at sf0.1)."""
     tokd = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
     toks = F.col("toks")
     starts = F.when(
-        F.size(toks) >= SHINGLE_WORDS,
-        F.sequence(F.lit(1), F.size(toks) - (SHINGLE_WORDS - 1)),
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
     ).otherwise(F.array().cast("array<int>"))
     gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + k) for k in range(SHINGLE_WORDS)]
+        " ", *[F.element_at(toks, i + k) for k in range(n)]
     )
     return tokd.select(F.col(id_col), F.transform(starts, gram).alias("grams"))
 

@@ -209,10 +209,13 @@ def text_embedding(
     """Feature-hashing text embedding (the 'hashing trick', Weinberger
     et al. ICML'09): every token adds ±1 (sign from a second hash) to
     bucket xxhash64(token) mod dim; the vector is L2-normalized.
-    Deterministic and pure JVM — one explode, then ONE shuffle on the
-    doc id carrying dim conditional-sum aggregates with map-side
-    combine — so it scales exactly like the SimHash bit-vote
-    aggregate. This is the stand-in embedder that lets embedding-space
+    Deterministic and pure JVM. For small dim (≤64, the hashing-trick
+    regime): one explode, then ONE shuffle on the doc id carrying dim
+    conditional-sum aggregates with map-side combine — the SimHash
+    bit-vote shape. For model-scale dim: a two-shuffle
+    groupBy(id, bucket) → map rebuild whose per-token work stays O(1)
+    (dim CASEs per token and a dim-wide codegen aggregate would not
+    survive there). This is the stand-in embedder that lets embedding-space
     operators (IVF bucketing, cosine near-dup) run end-to-end where no
     model service exists; a real pipeline swaps in model vectors by
     replacing this single stage."""
@@ -221,19 +224,41 @@ def text_embedding(
     ).where(F.col("w") != "")
     bucket = F.pmod(F.xxhash64("w"), F.lit(dim)).cast("int")
     sign = (F.pmod(F.xxhash64("w", F.lit(1)), F.lit(2)) * 2 - 1).cast("double")
-    # ONE shuffle on the doc id: dim conditional sums (the same
-    # partial+final hash-agg shape as the SimHash bit votes) replace the
-    # earlier groupBy(id, bucket) → groupBy(id) two-shuffle plan —
-    # map-side combine reduces the exploded token stream to |docs|×dim
-    # before the exchange (plan-asserted in tests)
     per = tok.select(F.col(id_col), bucket.alias("b"), sign.alias("s"))
-    m = per.groupBy(id_col).agg(
-        *[
-            F.sum(F.when(F.col("b") == i, F.col("s")).otherwise(0.0)).alias(f"x{i}")
-            for i in range(dim)
-        ]
-    )
-    dense = F.array(*[F.coalesce(F.col(f"x{i}"), F.lit(0.0)) for i in range(dim)])
+    if dim <= 64:
+        # ONE shuffle on the doc id: dim conditional sums (the same
+        # partial+final hash-agg shape as the SimHash bit votes) —
+        # map-side combine reduces the exploded token stream to
+        # |docs|×dim before the exchange (plan-asserted in tests).
+        # Each token row evaluates dim CASEs, so this is only the win
+        # for small dim.
+        m = per.groupBy(id_col).agg(
+            *[
+                F.sum(F.when(F.col("b") == i, F.col("s")).otherwise(0.0)).alias(
+                    f"x{i}"
+                )
+                for i in range(dim)
+            ]
+        )
+        # .otherwise(0.0) above makes every sum non-null (every grouped
+        # doc has ≥1 token row), so no coalesce is needed here
+        dense = F.array(*[F.col(f"x{i}") for i in range(dim)])
+    else:
+        # model-scale dims (256–4096): O(tokens × dim) CASE evaluation
+        # and a dim-wide codegen aggregate would blow up (Janino method
+        # limits), so fall back to the two-shuffle map-rebuild plan
+        # whose per-token work stays O(1): groupBy(id, bucket) partial
+        # agg, then one map per doc
+        m = (
+            per.groupBy(id_col, "b")
+            .agg(F.sum("s").alias("v"))
+            .groupBy(id_col)
+            .agg(F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("mm"))
+        )
+        dense = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("mm"), i), F.lit(0.0)),
+        )
     norm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x))
     # a doc whose bucket votes fully cancel embeds to the zero vector;
     # it carries no signal AND every downstream cosine would divide by

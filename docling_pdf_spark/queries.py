@@ -1133,18 +1133,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram, then a per-doc count. At 100 TB the same plan holds: one
     narrow gram pass over training data joined against a broadcast
     eval-gram set — no corpus-scale shuffle."""
+    from docling_pdf_spark.operators.dedup import _gram_arrays
+
     docs = _t(spark, sf_dir, "documents")
-    tokd = docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-    n = DECON_GRAM_WORDS
-    starts = F.when(
-        F.size("ws") >= n, F.sequence(F.lit(1), F.size("ws") - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(F.col("ws"), i + k) for k in range(n)]
-    )
-    grams = tokd.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.transform(starts, gram))).alias("g"),
+    # derives from THE shared word-n-gram kernel (review-found: an
+    # inline copy would silently miss future fixes to it)
+    grams = _gram_arrays(docs, "doc_id", "text", n=DECON_GRAM_WORDS).select(
+        "doc_id", F.explode(F.array_distinct(F.col("grams"))).alias("g")
     )
     is_eval = F.pmod(F.col("doc_id"), F.lit(DECON_EVAL_MOD)) == 0
     eval_grams = grams.where(is_eval).select("g").distinct()

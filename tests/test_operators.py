@@ -671,3 +671,28 @@ def test_text_embedding_excludes_zero_vectors(spark):
     # downstream cosine runs clean and still finds the planted pair
     pairs = embedding_near_dups(emb, threshold=0.9, id_col="doc_id").collect()
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {("a", "b")}
+
+
+def test_text_embedding_large_dim_path_consistent(spark):
+    """dim > 64 takes the two-shuffle map-rebuild plan (per-token work
+    stays O(1) at model-scale dims); it must produce the same kind of
+    output as the small-dim path: unit vectors, near-dup pair closest,
+    deterministic."""
+    from docling_pdf_spark.operators.similarity import text_embedding
+
+    docs = spark.createDataFrame(
+        [("a", BASE), ("b", BASE.replace("lazy", "sleepy")),
+         ("c", "an entirely different long document about mountain "
+               "weather patterns and seasonal snowfall records")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["embedding"]
+            for r in text_embedding(docs, dim=80).collect()}
+    assert set(rows) == {"a", "b", "c"} and all(len(v) == 80 for v in rows.values())
+    for v in rows.values():
+        assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-9)
+    cos = lambda x, y: sum(p * q for p, q in zip(x, y))  # noqa: E731
+    assert cos(rows["a"], rows["b"]) > 0.9 > cos(rows["a"], rows["c"])
+    rows2 = {r["doc_id"]: r["embedding"]
+             for r in text_embedding(docs, dim=80).collect()}
+    assert rows == rows2
