@@ -43,6 +43,8 @@ def curate(
     num_partitions: int | None = None,
     near_dup: str = "minhash",
     cosine: float = 0.9,
+    decon_eval: str | None = None,
+    decon_gram_words: int = 8,
 ):
     """documents → curated extracted corpus; returns the funnel dict.
 
@@ -51,7 +53,14 @@ def curate(
     partial-passage reuse a whole-doc similarity score dilutes away),
     or 'embedding' (feature-hashed text vectors, IVF-bucketed cosine
     pairs ≥ `cosine` — the embedding-space path; swap the hashing-trick
-    embedder for model vectors to dedupe semantically)."""
+    embedder for model vectors to dedupe semantically).
+
+    decon_eval: optional parquet of benchmark/eval documents (needs a
+    `text` column); any curated doc sharing a word-`decon_gram_words`-
+    gram with the eval set is dropped (n-gram decontamination). The
+    eval gram set is distinct + broadcast — benchmarks stay
+    broadcastable at any corpus scale, so the training side pays one
+    narrow gram pass and no corpus-scale shuffle."""
     from pyspark.sql import functions as F
 
     from docling_pdf_spark.functions.text import digit_ratio, token_count
@@ -143,7 +152,31 @@ def curate(
     # so the drop list is O(duplicate docs) — TB-scale at 100 TB input —
     # and a forced broadcast OOMs the driver (round-2 ADVICE). AQE picks
     # broadcast on its own when the built side is measured small.
-    curated = exact.join(drop, "doc_id", "left_anti").drop("full_text")
+    curated = exact.join(drop, "doc_id", "left_anti")
+    n_after_near = None
+    if decon_eval:
+        from docling_pdf_spark.operators.dedup import _gram_arrays
+
+        n_after_near = curated.count()
+        ev = spark.read.parquet(decon_eval).select(
+            F.lit(0).cast("long").alias("doc_id"), "text"
+        )
+        ev_grams = (
+            _gram_arrays(ev, "doc_id", "text", n=decon_gram_words)
+            .select(F.explode(F.array_distinct("grams")).alias("g"))
+            .distinct()
+        )
+        tr_grams = _gram_arrays(
+            curated.select("doc_id", F.col("full_text").alias("text")),
+            "doc_id",
+            "text",
+            n=decon_gram_words,
+        ).select("doc_id", F.explode(F.array_distinct("grams")).alias("g"))
+        contaminated = (
+            tr_grams.join(F.broadcast(ev_grams), "g").select("doc_id").distinct()
+        )
+        curated = curated.join(contaminated, "doc_id", "left_anti")
+    curated = curated.drop("full_text")
     curated.write.mode("overwrite").parquet(output_path)
     ok.unpersist()
     if emb_cached is not None:
@@ -161,7 +194,14 @@ def curate(
         "dropped_extraction_failed": n_input - n_ok,
         "dropped_quality": n_ok - n_quality,
         "dropped_exact_dups": n_quality - n_exact,
-        "dropped_near_dups": n_exact - n_curated,
+        "dropped_near_dups": (
+            n_exact - n_curated if n_after_near is None else n_exact - n_after_near
+        ),
+        **(
+            {"dropped_contaminated": n_after_near - n_curated}
+            if n_after_near is not None
+            else {}
+        ),
     }
 
 
@@ -181,6 +221,10 @@ def main(argv: list[str] | None = None) -> int:
                          "(minhash), shared rolling-hash fingerprints "
                          "for partial-passage reuse (winnow), or "
                          "IVF-bucketed embedding cosine (embedding)")
+    ap.add_argument("--decon-eval", default=None,
+                    help="parquet of benchmark docs (text column); curated "
+                         "docs sharing any word-n-gram with it are dropped")
+    ap.add_argument("--decon-gram-words", type=int, default=8)
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--local-cores", type=int, default=None)
     ap.add_argument("--gen-docs", type=int, default=None,
@@ -208,6 +252,8 @@ def main(argv: list[str] | None = None) -> int:
         num_partitions=args.num_partitions,
         near_dup=args.near_dup,
         cosine=args.cosine,
+        decon_eval=args.decon_eval,
+        decon_gram_words=args.decon_gram_words,
     )
     funnel["elapsed_sec"] = round(time.perf_counter() - t0, 3)
     funnel["status"] = "done"

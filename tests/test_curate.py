@@ -143,3 +143,32 @@ def test_curate_embedding_mode_drops_planted_cosine_pair(spark, tmp_path):
     assert funnel["dropped_near_dups"] == 1
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {"keep-1", "keep-2"}
+
+
+def test_curate_decontaminates_against_eval_set(spark, tmp_path):
+    """With --decon-eval, a curated doc sharing an 8-word gram with the
+    benchmark set is dropped (and accounted as dropped_contaminated);
+    disjoint-vocabulary docs survive. The eval gram set is broadcast —
+    the training side must not shuffle at corpus scale."""
+    import pyarrow as pa
+
+    from jobs.curate import curate
+
+    rows = [
+        _doc("keep-1", BASE),  # shares the BASE passage with the eval doc
+        _doc("keep-2", "an entirely different long document about mountain "
+                       "weather patterns and the seasonal snowfall records "
+                       "measured across forty alpine stations since twenty ten"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_PA), src)
+    ev = str(tmp_path / "eval.parquet")
+    pq.write_table(
+        pa.table({"text": ["benchmark question quoting: " + BASE]}), ev
+    )
+    out = str(tmp_path / "curated")
+    funnel = curate(spark, src, out, min_chars=80, decon_eval=ev)
+    assert funnel["dropped_contaminated"] == 1
+    assert funnel["dropped_near_dups"] == 0
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"keep-2"}
