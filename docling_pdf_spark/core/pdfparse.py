@@ -345,6 +345,10 @@ def _parens_balanced(stream: bytes) -> bool:
     and the nesting-aware regex could swallow later BT..ET blocks — the
     failure mode the flat fallback exists to prevent (r3 ADVICE). Cost
     is one C-speed scan plus a Python step per paren occurrence."""
+    if b"\\" not in stream:
+        # no escapes possible: plain C-speed counts are exact (the
+        # common case — ~6% of serial kernel time was the scan below)
+        return stream.count(b"(") == stream.count(b")")
     bal = 0
     for m in _PAREN_RUN_RE.finditer(stream):
         if len(m.group(1)) % 2 == 0:  # even backslash run → unescaped
