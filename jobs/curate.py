@@ -154,12 +154,26 @@ def curate(
     # broadcast on its own when the built side is measured small.
     curated = exact.join(drop, "doc_id", "left_anti")
     n_after_near = None
+    cur_cached = None
     if decon_eval:
+        if decon_gram_words < 2:
+            # 0 would make every position the empty gram '' on BOTH
+            # sides → the whole corpus flags contaminated (review-found)
+            raise ValueError(f"decon_gram_words must be >= 2, got {decon_gram_words}")
         from docling_pdf_spark.operators.dedup import _gram_arrays
 
+        # persist: the count below, the contaminated subtree AND the
+        # final write's left side would otherwise each re-run the
+        # near-dup pair DAG upstream of `curated` (review-found)
+        curated = cur_cached = curated.persist()
         n_after_near = curated.count()
+        # whitespace-normalize BOTH sides before gramming: full_text
+        # joins spans with '\n' and benchmark dumps carry newlines —
+        # split-on-space would otherwise produce 'word8\nword9' tokens
+        # that never match across the boundary (review-found)
+        ws_norm = lambda c: F.regexp_replace(F.trim(c), r"\s+", " ")  # noqa: E731
         ev = spark.read.parquet(decon_eval).select(
-            F.lit(0).cast("long").alias("doc_id"), "text"
+            F.lit(0).cast("long").alias("doc_id"), ws_norm(F.col("text")).alias("text")
         )
         ev_grams = (
             _gram_arrays(ev, "doc_id", "text", n=decon_gram_words)
@@ -167,7 +181,7 @@ def curate(
             .distinct()
         )
         tr_grams = _gram_arrays(
-            curated.select("doc_id", F.col("full_text").alias("text")),
+            curated.select("doc_id", ws_norm(F.col("full_text")).alias("text")),
             "doc_id",
             "text",
             n=decon_gram_words,
@@ -181,6 +195,8 @@ def curate(
     ok.unpersist()
     if emb_cached is not None:
         emb_cached.unpersist()
+    if cur_cached is not None:
+        cur_cached.unpersist()
 
     n_curated = spark.read.parquet(output_path).count()
     return {
@@ -190,7 +206,8 @@ def curate(
         "n_after_exact_dedup": n_exact,
         "n_curated": n_curated,
         # each funnel stage accounts only for ITS drops, so the numbers
-        # always sum: input = failed + quality-drops + exact + near + kept
+        # always sum: input = failed + quality-drops + exact + near
+        # (+ contaminated when decon_eval is set) + kept
         "dropped_extraction_failed": n_input - n_ok,
         "dropped_quality": n_ok - n_quality,
         "dropped_exact_dups": n_quality - n_exact,

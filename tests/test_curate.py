@@ -172,3 +172,50 @@ def test_curate_decontaminates_against_eval_set(spark, tmp_path):
     assert funnel["dropped_near_dups"] == 0
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {"keep-2"}
+
+
+def test_curate_decon_catches_passage_across_span_boundary(spark, tmp_path):
+    """Review-found: full_text joins spans with '\\n', so without
+    whitespace normalization a quoted passage crossing a span boundary
+    produced a 'word8\\nword9' token that never matched any eval gram.
+    Both sides are normalized now; the split-span doc must be caught.
+    A gram width of 0 must fail fast (it would flag everything via the
+    empty gram)."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from jobs.curate import curate
+
+    words = BASE.split(" ")
+    half = len(words) // 2
+    split_doc = {
+        "doc_id": "split-spans",
+        "spans": [
+            {"kind": "text", "text": " ".join(words[:half]), "media_ref": None,
+             "offset": 0},
+            {"kind": "text", "text": " ".join(words[half:]), "media_ref": None,
+             "offset": 1},
+        ],
+    }
+    rows = [
+        split_doc,
+        _doc("keep-2", "an entirely different long document about mountain "
+                       "weather patterns and the seasonal snowfall records "
+                       "measured across forty alpine stations since twenty ten"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_PA), src)
+    ev = str(tmp_path / "eval.parquet")
+    # the eval quote covers the span boundary; also carries a newline
+    # itself (benchmark dumps do)
+    mid_quote = " ".join(words[half - 5 : half]) + "\n" + " ".join(words[half : half + 5])
+    pq.write_table(pa.table({"text": [mid_quote]}), ev)
+    out = str(tmp_path / "curated")
+    funnel = curate(spark, src, out, min_chars=80, decon_eval=ev,
+                    decon_gram_words=8)
+    assert funnel["dropped_contaminated"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"keep-2"}
+
+    with _pytest.raises(ValueError, match="decon_gram_words"):
+        curate(spark, src, str(tmp_path / "x"), decon_eval=ev, decon_gram_words=0)
