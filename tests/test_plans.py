@@ -272,3 +272,21 @@ def test_text_embedding_is_single_shuffle_with_partial_agg(spark):
     assert plan.count("Exchange (") == 1
     assert "partial_sum" in plan
     assert "Python" not in plan
+
+
+def test_sequence_packing_window_is_sharded(spark):
+    """The packing cumsum must be a window PARTITIONED BY the shard —
+    one hash exchange on pmod(doc_id), never the single-partition
+    global-order window a naive packer ships with (which serializes
+    the corpus through one task at 100 TB)."""
+    from docling_pdf_spark.queries import q_sequence_packing
+    from docling_pdf_spark.plans import formatted_plan
+
+    plan = formatted_plan(q_sequence_packing(spark, SF_DIR))
+    assert "Window" in plan
+    # the shard expression materializes as a _w window-partition column
+    # hashed across 32 partitions
+    assert "hashpartitioning(_w" in plan
+    assert plan.count("Exchange (") == 1
+    # the fatal shape: Exchange SinglePartition feeding the Window
+    assert "SinglePartition" not in plan
