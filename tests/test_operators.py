@@ -329,6 +329,33 @@ def test_embedding_near_dups_bucketed_recall(spark):
         assert recall >= 0.5
 
 
+def test_exhaustive_near_dups_is_exact(spark):
+    """nprobe = n_centroids collapses the bucketed pass to the exact
+    O(n²) result (every vector probes every bucket, cap unbounded).
+    This pins the machinery the retired embedding_near_dups_exhaustive
+    driver entry proved before it was consolidated out of the 50-entry
+    registry in round 5 (r4 VERDICT next-round #1)."""
+    from docling_pdf_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_bucketed,
+    )
+    from docling_pdf_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_near_dups(emb, 0.3).collect()
+    }
+    exhaustive = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_near_dups_bucketed(
+            emb, kmeans_centroids(emb, n=16, iters=3),
+            threshold=0.3, nprobe=16, max_bucket=1_000_000_000,
+        ).collect()
+    }
+    assert exact and exhaustive == exact
+
+
 def test_embedding_near_dups_bucketed_planted_recall(spark):
     """TRUE near-dups (planted cos≥0.9 perturbed copies) must be
     recovered at high recall — the case the operator exists for."""

@@ -104,6 +104,24 @@ def test_entry_smoke(spark):
     assert "spans" in df.columns
 
 
+def test_registry_fits_driver_cap():
+    """CORRECTNESS_r04 recorded exactly the first 50 of 51 registered
+    entries — the driver harness caps at 50 and silently evicts the
+    tail. Pin the registry at ≤50 with every entry exactly oracled so
+    nothing green can fall off (r4 VERDICT next-round #1)."""
+    import __spark_entry__ as se
+
+    q = se.queries()
+    o = se.oracle_sql()
+    assert len(q) <= 50, f"registry has {len(q)} entries; driver caps at 50"
+    assert set(o) == set(q), (
+        f"oracle/query key mismatch: only-q={sorted(set(q) - set(o))} "
+        f"only-o={sorted(set(o) - set(q))}"
+    )
+    # the r4 casualty must be registered well clear of the tail
+    assert "multimodal_frame_index" in q
+
+
 def test_rows_only_queries_run(spark):
     import __spark_entry__ as se
 
