@@ -346,6 +346,15 @@ _MAT_ROOT = os.path.join(
 )
 
 
+# The driver's oracle compare runs at this sf by contract; oracle_sql()
+# (fixed, parameterless signature) reads the artifacts written under it.
+# Entries materialize ONLY at this sf — at any other scale factor they
+# compute the same result directly, so nothing times a parquet
+# write/read-back that isn't part of the production plan, and
+# .oracle_mat cannot accumulate per-sf artifacts (ADVICE r4).
+_ORACLE_SF = "sf0.01"
+
+
 def _mat_path(sf_dir: str, name: str) -> str:
     """Per-SF parquet path for hash-materialization oracles (r3 VERDICT
     #3): an entry writes its Spark-computed hash artifacts (signatures,
@@ -353,9 +362,22 @@ def _mat_path(sf_dir: str, name: str) -> str:
     reads them back, making everything DOWNSTREAM of the unportable
     hash exactly DuckDB-checkable. Keyed by the sf basename so a bench
     run at sf0.1 cannot clobber the sf0.01 artifacts mid-compare.
-    oracle_sql() derives its read paths through this same helper (the
-    driver's oracle compare runs at sf0.01 by contract)."""
+    oracle_sql() derives its read paths through this same helper and
+    _ORACLE_SF."""
     return f"{_MAT_ROOT}/{os.path.basename(os.path.normpath(sf_dir))}/{name}"
+
+
+def _materialize(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Write df's hash artifact for the oracle and hand back the
+    read-back frame — but only at the oracle sf (see _ORACLE_SF). At
+    any other sf the input frame is returned untouched: the entry then
+    runs the identical logical plan without the oracle-only
+    materialization detour."""
+    if os.path.basename(os.path.normpath(sf_dir)) != _ORACLE_SF:
+        return df
+    path = _mat_path(sf_dir, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,12 +396,10 @@ def _minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    melted = lsh_melted(minhash_signatures(shingles(docs)))
-    path = _mat_path(sf_dir, "minhash_melted")
-    melted.write.mode("overwrite").parquet(path)
-    return lsh_pairs_from_melted(spark.read.parquet(path)).where(
-        F.col("est_jaccard") >= 0.3
+    melted = _materialize(
+        lsh_melted(minhash_signatures(shingles(docs))), sf_dir, "minhash_melted"
     )
+    return lsh_pairs_from_melted(melted).where(F.col("est_jaccard") >= 0.3)
 
 
 def _minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,10 +424,11 @@ def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    melted = simhash_melted(simhash_fingerprints(docs), max_hamming=8)
-    path = _mat_path(sf_dir, "simhash_melted")
-    melted.write.mode("overwrite").parquet(path)
-    return simhash_pairs_from_melted(spark.read.parquet(path), max_hamming=8)
+    melted = _materialize(
+        simhash_melted(simhash_fingerprints(docs), max_hamming=8),
+        sf_dir, "simhash_melted",
+    )
+    return simhash_pairs_from_melted(melted, max_hamming=8)
 
 
 def _simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,19 +465,17 @@ def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = list(emb.where(F.col("vec_id") == 0).collect()[0]["embedding"])
     cents = kmeans_centroids(emb, n=16, iters=3)
-    apath = _mat_path(sf_dir, "ivf_assign")
-    ivf_assign(emb, cents).write.mode("overwrite").parquet(apath)
-    ppath = _mat_path(sf_dir, "ivf_probes")
+    assigned = _materialize(ivf_assign(emb, cents), sf_dir, "ivf_assign")
     # computed once and passed through: the materialized probes the
     # oracle reads ARE the probes the returned query scans (review-found:
     # two independent rank_probes calls could silently decouple)
     probes = rank_probes(cents, qv, 4)
-    spark.createDataFrame(
-        [(p,) for p in probes], "centroid_id int"
-    ).write.mode("overwrite").parquet(ppath)
+    _materialize(
+        spark.createDataFrame([(p,) for p in probes], "centroid_id int"),
+        sf_dir, "ivf_probes",
+    )
     return ivf_cosine_topk(
-        spark.read.parquet(apath), cents, qv, k=10, nprobe=4, sim_round=4,
-        probe_ids=probes,
+        assigned, cents, qv, k=10, nprobe=4, sim_round=4, probe_ids=probes,
     )
 
 
@@ -523,10 +542,11 @@ def _embedding_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    assigned = ivf_assign_multi(emb, kmeans_centroids(emb, n=16, iters=3), nprobe=2)
-    path = _mat_path(sf_dir, "nd_assign_multi")
-    assigned.write.mode("overwrite").parquet(path)
-    return embedding_pairs_from_assigned(spark.read.parquet(path), threshold=0.3)
+    assigned = _materialize(
+        ivf_assign_multi(emb, kmeans_centroids(emb, n=16, iters=3), nprobe=2),
+        sf_dir, "nd_assign_multi",
+    )
+    return embedding_pairs_from_assigned(assigned, threshold=0.3)
 
 
 def _multimodal_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,7 +761,7 @@ def oracle_sql() -> dict[str, str]:
         simhash_materialized_oracle_sql,
     )
 
-    mat = os.path.dirname(_mat_path("sf0.01", "x"))
+    mat = os.path.dirname(_mat_path(_ORACLE_SF, "x"))
     o["minhash_lsh_dedup"] = lsh_materialized_oracle_sql(
         f"{mat}/minhash_melted/*.parquet", threshold=0.3
     )

@@ -117,12 +117,24 @@ def _simhash_portable(spark, sf_dir):
 # base hash vs the xxhash64 production hash) for every dedup family,
 # as the winnow pair already did in round 3; the production plan a
 # 100 TB run would use is the *_fast member of each pair.
+def _text_embedding_d1024(spark, sf_dir):
+    # the >64-dim map-rebuild branch (two exchanges, O(1)/token) — the
+    # branch a real model-dim (768–4096) pipeline would exercise; the
+    # ≤64 hashing-trick branch is timed implicitly inside the curate
+    # funnel (r4 VERDICT next-round #4)
+    from docling_pdf_spark.operators.similarity import text_embedding
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_embedding(docs, dim=1024)
+
+
 EXTRA_BENCH = {
     "winnow_fingerprints_fast": _winnow_fast,
     "minhash_lsh_fast": _minhash_fast,
     "minhash_lsh_portable": _minhash_portable,
     "simhash_fast": _simhash_fast,
     "simhash_portable": _simhash_portable,
+    "text_embedding_d1024": _text_embedding_d1024,
 }
 
 

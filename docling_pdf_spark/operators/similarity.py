@@ -105,9 +105,12 @@ def _train_sample(
     pmod(xxhash64(id), M) falls below M*cap/total. One column-pruned
     count() sizes the fraction; the filter is a narrow scan predicate.
     Returns (df, sampled?) — the input unchanged when total <= cap."""
-    total = v.count()
-    if total <= cap:
+    # bounded probe first: corpora at/below the cap (the common test
+    # and per-bucket case) pay one early-stopping CollectLimit job
+    # instead of a full-corpus count
+    if v.limit(cap + 1).count() <= cap:
         return v, False
+    total = v.count()
     num = max(1, (_SAMPLE_MOD * cap) // total)
     return (
         v.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(_SAMPLE_MOD)) < F.lit(num)),
@@ -163,6 +166,16 @@ def kmeans_centroids(
         # cache the bounded sample: 4 iterations re-read ~cap rows from
         # memory instead of re-scanning + re-filtering the full corpus
         v = v.persist()
+    try:
+        return _lloyd(spark, v, n, iters)
+    finally:
+        # unpersist even when seeding/iteration raises — a failed call
+        # must not leak the cached sample for the session
+        if sampled:
+            v.unpersist()
+
+
+def _lloyd(spark, v: DataFrame, n: int, iters: int) -> DataFrame:
     seeds = (
         v.orderBy(F.xxhash64(F.col("_id")), F.asc("_id")).limit(n).collect()
     )
@@ -195,8 +208,6 @@ def kmeans_centroids(
             norm = sum(x * x for x in m) ** 0.5 or 1.0
             new_cents.append((cid, [x / norm for x in m]))
         cents = new_cents
-    if sampled:
-        v.unpersist()
     return spark.createDataFrame(cents, ["centroid_id", "centroid"])
 
 

@@ -1081,9 +1081,10 @@ FROM cum
 
 # per-language keep rates (per-mille): the language-rebalancing step of
 # a curation pipeline — upweight scarce languages by downsampling the
-# dominant ones deterministically
-STRATA_RATES_PM = {"en": 1000, "de": 500, "fr": 500, "zh": 250}
-STRATA_DEFAULT_PM = 100
+# dominant ones deterministically (en dominates the corpus → keep 25%;
+# mid-frequency languages 75%; anything scarcer kept in full)
+STRATA_RATES_PM = {"en": 250, "de": 750, "fr": 750, "zh": 750}
+STRATA_DEFAULT_PM = 1000
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -274,6 +274,22 @@ def test_text_embedding_is_single_shuffle_with_partial_agg(spark):
     assert "Python" not in plan
 
 
+def test_text_embedding_model_dim_is_two_shuffles(spark):
+    """At model-scale dims (>64) the embedder must take the
+    map-rebuild branch: groupBy(id, bucket) partial agg then one map
+    per doc — exactly TWO exchanges, still zero Python, and per-token
+    work independent of dim (the ≤64 branch's dim-CASE codegen would
+    blow past Janino limits at 1024)."""
+    from docling_pdf_spark.operators.similarity import text_embedding
+    from docling_pdf_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = formatted_plan(text_embedding(docs, dim=1024))
+    assert plan.count("Exchange (") == 2
+    assert "partial_sum" in plan
+    assert "Python" not in plan
+
+
 def test_sequence_packing_window_is_sharded(spark):
     """The packing cumsum must be a window PARTITIONED BY the shard —
     one hash exchange on pmod(doc_id), never the single-partition
