@@ -119,7 +119,21 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("curate-bench", local_cores=args.cpus,
                       shuffle_partitions=max(args.cpus, 32))
     spark.sparkContext.setLogLevel("ERROR")
-    # JVM/codegen warm-up outside the timed region
+
+    # spin up the Python worker pool + kernel imports outside the timed
+    # region (a JVM-only warm-up leaves trial 1 paying worker spawn +
+    # imports; same shape as bench.py's warm_up)
+    import pandas as pd
+
+    def _touch(batches):
+        from docling_pdf_spark.core.batch import extract_pdf_batch  # noqa: F401
+
+        for b in batches:
+            yield pd.DataFrame({"id": b["id"][:1]})
+
+    spark.range(args.cpus * 4, numPartitions=args.cpus * 4).mapInPandas(
+        _touch, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
     spark.read.parquet(corpus).limit(256).count()
 
     times, funnel = [], {}
@@ -141,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
         "wall_sec_median": round(med, 3),
         "wall_sec_min": round(mn, 3),
         "trials": args.trials,
+        "trial_secs": [round(x, 3) for x in times],
         "n_docs": n_docs,
         "base_docs": args.base_docs,
         "dup_rate": args.dup_rate,
