@@ -5,8 +5,9 @@ entry(spark)  — flagship extraction: derive an interleaved span table
                 the full mapInPandas extraction pipeline over it.
 queries()     — one entry per implemented operator (SURVEY.md §2 +
                 training-data ops); each (spark, sf_dir) → DataFrame.
-oracle_sql()  — DuckDB-equivalent SQL for EVERY entry (51/51 since
-                round 4): SQL-expressible ops directly; hash-gated ops
+oracle_sql()  — DuckDB-equivalent SQL for EVERY entry (50/50 —
+                exactly at the driver harness's measured 50-entry cap
+                since round 5): SQL-expressible ops directly; hash-gated ops
                 (xxhash64 LSH/SimHash, IVF) via hash materialization —
                 the entry writes its Spark-computed hash artifacts to
                 parquet and generated SQL replays everything downstream.
@@ -512,22 +513,6 @@ def _ivf_ann_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embedding_near_dups_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exhaustive multi-probe bucketed near-dups == exact O(n²) pass:
-    with nprobe = n_centroids every vector lands in every bucket, so
-    the bucketed subset property collapses to equality with
-    q_embedding_near_dups (existing DuckDB SQL). Proves the bucketed
-    join + cross-bucket pair dedupe exact."""
-    from docling_pdf_spark.operators.dedup import embedding_near_dups_bucketed
-    from docling_pdf_spark.operators.similarity import kmeans_centroids
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups_bucketed(
-        emb, kmeans_centroids(emb, n=16, iters=3),
-        threshold=0.3, nprobe=16, max_bucket=1_000_000_000,
-    )
-
-
 def _embedding_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed embedding near-dups (nprobe=2) with a
     hash-materialization oracle: the multi-probe (vec_id, embedding,
@@ -714,7 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # #2). Its sibling embedding_near_dups_exhaustive was consolidated
     # out of the driver registry in round 5 to fit the 50-entry cap —
     # the identical collapse-to-exact machinery is still pytest-gated
-    # (tests/test_similarity.py::test_exhaustive_near_dups_is_exact)
+    # (tests/test_operators.py::test_exhaustive_near_dups_is_exact)
     # and the bucketed variant remains exactly oracled above.
     q["ivf_ann_topk_exhaustive"] = _ivf_ann_topk_exhaustive
     assert len(q) <= 50, f"driver caps at 50 correctness entries, got {len(q)}"
