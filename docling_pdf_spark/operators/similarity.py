@@ -254,23 +254,44 @@ def text_embedding(
         # .otherwise(0.0) above makes every sum non-null (every grouped
         # doc has ≥1 token row), so no coalesce is needed here
         dense = F.array(*[F.col(f"x{i}") for i in range(dim)])
+        norm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x))
     else:
         # model-scale dims (256–4096): O(tokens × dim) CASE evaluation
         # and a dim-wide codegen aggregate would blow up (Janino method
         # limits), so fall back to the two-shuffle map-rebuild plan
         # whose per-token work stays O(1): groupBy(id, bucket) partial
-        # agg, then one map per doc
+        # agg, then one map per doc. The L2 norm is computed IN the
+        # aggregate (norm² = Σ v² over the bucket sums — identical to
+        # the dense-vector norm since absent buckets contribute 0):
+        # deriving it from the dense rebuild instead looks equivalent
+        # but is a measured O(dim²)-per-row trap — CollapseProject
+        # inlines the aggregate-over-dense norm into the normalize
+        # lambda, re-evaluating it per ELEMENT (500 docs at dim=1024:
+        # 209 s; this shape: ~2 s).
         m = (
             per.groupBy(id_col, "b")
             .agg(F.sum("s").alias("v"))
             .groupBy(id_col)
-            .agg(F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("mm"))
+            .agg(
+                F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("mm"),
+                F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("_n"),
+            )
         )
-        dense = F.transform(
+        # build the dense array ONCE, already normalized (_n is a real
+        # aggregate output column — nothing to inline)
+        dense_over_norm = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.coalesce(F.element_at(F.col("mm"), i), F.lit(0.0)),
+            lambda i: F.coalesce(F.element_at(F.col("mm"), i), F.lit(0.0))
+            / F.col("_n"),
         )
-    norm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x))
+        # a doc whose bucket votes fully cancel embeds to the zero
+        # vector; it carries no signal AND every downstream cosine
+        # would divide by its zero norm (ANSI mode → DIVIDE_BY_ZERO
+        # aborts the job), so such docs are excluded here at the source
+        return (
+            m.where(F.col("_n") > 0)
+            .select(F.col(id_col), dense_over_norm.alias("embedding"))
+        )
     # a doc whose bucket votes fully cancel embeds to the zero vector;
     # it carries no signal AND every downstream cosine would divide by
     # its zero norm (ANSI mode → DIVIDE_BY_ZERO aborts the job —
