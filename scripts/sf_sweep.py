@@ -156,6 +156,13 @@ def ensure_sf1(repo: str) -> str:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--full", action="store_true",
+                    help="sweep the ENTIRE driver registry (all 50 "
+                         "queries incl. extraction, streaming, dedup "
+                         "families, multimodal) instead of the 22 "
+                         "headline bench queries; excludes only the "
+                         "documented O(n^2)-by-design brute-force pair "
+                         "baseline")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
@@ -180,13 +187,41 @@ def main(argv: list[str] | None = None) -> int:
     bench_root = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench_root)
     BENCH_QUERIES = bench_root.BENCH_QUERIES
+
+    excluded = {}
+    if args.full:
+        import __spark_entry__ as se
+
+        q_all = se.queries()
+        # the one documented exclusion: the exact all-pairs cosine
+        # baseline is O(n^2) BY DESIGN (it exists as the correctness
+        # anchor for the bucketed variant, which IS swept) — flagging
+        # it superlinear would only restate its contract
+        excluded = {"embedding_near_dups": "O(n^2) brute-force baseline by design"}
+        BENCH_QUERIES = [n for n in q_all if n not in excluded]
     from docling_pdf_spark.queries import spark_queries
     from docling_pdf_spark.session import get_spark
 
     spark = get_spark("sf-sweep", local_cores=args.cpus,
                       shuffle_partitions=max(args.cpus, 32))
     spark.sparkContext.setLogLevel("ERROR")
-    q = spark_queries()
+    if args.full:
+        q = q_all
+        # the extraction/multimodal entries run mapInArrow/mapInPandas —
+        # spin the Python worker pool outside the timed region
+        import pandas as pd
+
+        def _touch(batches):
+            from docling_pdf_spark.core.batch import extract_pdf_batch  # noqa: F401
+
+            for b in batches:
+                yield pd.DataFrame({"id": b["id"][:1]})
+
+        spark.range(args.cpus * 4, numPartitions=args.cpus * 4).mapInPandas(
+            _touch, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
+    else:
+        q = spark_queries()
     # warm the Python-free path + JIT
     spark.range(1 << 20).selectExpr("sum(id)").collect()
 
@@ -247,6 +282,8 @@ def main(argv: list[str] | None = None) -> int:
         "secs": results,
         "lineitem_rows": rows_per_sf,
         "trials": args.trials,
+        "mode": "full_registry" if args.full else "headline_bench",
+        "excluded": excluded,
         "retried_after_flag": retried,
         "cpus": args.cpus,
         "criterion": "t(sf1) <= 2 * max(10*t(sf0.1), 1s)",
