@@ -45,6 +45,9 @@ def curate(
     cosine: float = 0.9,
     decon_eval: str | None = None,
     decon_gram_words: int = 8,
+    max_dup_line_frac: float | None = None,
+    max_dup_para_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
 ):
     """documents → curated extracted corpus; returns the funnel dict.
 
@@ -95,6 +98,26 @@ def curate(
         & (token_count("full_text") >= min_tokens)
         & (digit_ratio("full_text") <= max_digit_ratio)
     )
+    # optional Gopher-style repetition gates (dup-line / dup-paragraph /
+    # top-bigram fractions): a second quality sub-stage — the signals
+    # need an explode+agg per doc, so they only run when a threshold is
+    # actually set. Shuffles on doc_id; the semi-join back is
+    # co-partitioned on the same key.
+    rep_thresholds = [
+        ("dup_line_frac", max_dup_line_frac),
+        ("dup_para_frac", max_dup_para_frac),
+        ("top_bigram_frac", max_top_bigram_frac),
+    ]
+    if any(v is not None for _, v in rep_thresholds):
+        from docling_pdf_spark.operators.quality import repetition_stats
+
+        rep = repetition_stats(
+            quality.select("doc_id", F.col("full_text").alias("text"))
+        )
+        for col, v in rep_thresholds:
+            if v is not None:
+                rep = rep.where(F.col(col) <= v)
+        quality = quality.join(rep.select("doc_id"), "doc_id", "left_semi")
     n_quality = quality.count()
 
     # exact dedup: keep the lexicographically-first doc_id per text hash
@@ -242,6 +265,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet of benchmark docs (text column); curated "
                          "docs sharing any word-n-gram with it are dropped")
     ap.add_argument("--decon-gram-words", type=int, default=8)
+    ap.add_argument("--max-dup-line-frac", type=float, default=None,
+                    help="drop docs whose duplicate-line fraction exceeds "
+                         "this (Gopher uses 0.30); off by default")
+    ap.add_argument("--max-dup-para-frac", type=float, default=None,
+                    help="duplicate-paragraph fraction gate (Gopher 0.30)")
+    ap.add_argument("--max-top-bigram-frac", type=float, default=None,
+                    help="top-bigram share gate (Gopher 0.20)")
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--local-cores", type=int, default=None)
     ap.add_argument("--gen-docs", type=int, default=None,
@@ -271,6 +301,9 @@ def main(argv: list[str] | None = None) -> int:
         cosine=args.cosine,
         decon_eval=args.decon_eval,
         decon_gram_words=args.decon_gram_words,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_dup_para_frac=args.max_dup_para_frac,
+        max_top_bigram_frac=args.max_top_bigram_frac,
     )
     funnel["elapsed_sec"] = round(time.perf_counter() - t0, 3)
     funnel["status"] = "done"

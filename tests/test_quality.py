@@ -1,0 +1,135 @@
+"""Repetition-based quality filters (operators/quality.py) — the
+Gopher-style dup-line / dup-paragraph / top-bigram signals.
+
+The driver registry sits at its measured 50-entry cap, so this
+operator's exactness check lives here: the same Spark-vs-DuckDB
+value-level comparison the driver runs, executed in pytest over the
+sf0.01 documents table (plus hand-computed fixtures and a no-Python
+plan check)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _stats_map(df):
+    return {
+        r["doc_id"]: (
+            r["dup_line_frac"], r["dup_para_frac"], r["top_bigram_frac"]
+        )
+        for r in df.collect()
+    }
+
+
+def test_repetition_stats_hand_computed(spark):
+    from docling_pdf_spark.operators.quality import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # lines: "a b" x2 + "c d" -> dup_line 2/3; one paragraph;
+            # bigrams over tokens [a b a b c d]: "a b" x2 of 5 -> 0.4
+            ("rep", "a b\na b\nc d"),
+            # paragraphs: "p q" x2 of 3 -> dup_para 2/3; lines all
+            # distinct? "p q" appears twice as a LINE too -> dup_line 2/3
+            ("para", "p q\n\np q\n\nx y z"),
+            # degenerate: single token, no bigrams, one line -> all 0
+            ("tiny", "hello"),
+            # pathological boilerplate: same line 4x -> dup_line 1.0
+            ("boiler", "buy now\nbuy now\nbuy now\nbuy now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = _stats_map(repetition_stats(docs))
+    assert got["rep"] == (pytest.approx(2 / 3), 0.0, pytest.approx(0.4))
+    assert got["para"][1] == pytest.approx(2 / 3)
+    assert got["para"][0] == pytest.approx(2 / 3)
+    assert got["tiny"] == (0.0, 0.0, 0.0)
+    assert got["boiler"][0] == 1.0
+    # "buy now" x4 -> bigrams: within-line "buy now" x4... tokens are
+    # [buy now buy now ...] flattened: 8 tokens, 7 bigrams, "buy now"
+    # appears 4x, "now buy" 3x -> top 4/7
+    assert got["boiler"][2] == pytest.approx(4 / 7)
+
+
+def test_repetition_stats_matches_duckdb(spark):
+    """Value-level Spark-vs-DuckDB parity on the sf0.01 corpus — the
+    same gate the driver applies to registered queries."""
+    from docling_pdf_spark.operators.quality import (
+        repetition_stats,
+        repetition_stats_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sdf = repetition_stats(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    ddf = (
+        con.execute(repetition_stats_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(sdf) == len(ddf) == 500
+    for col in ("dup_line_frac", "dup_para_frac", "top_bigram_frac"):
+        assert (sdf[col] - ddf[col]).abs().max() < 1e-9, col
+
+
+def test_repetition_stats_plan_is_jvm_only(spark):
+    from docling_pdf_spark.operators.quality import repetition_stats
+    from docling_pdf_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = formatted_plan(repetition_stats(docs))
+    assert "Python" not in plan
+    assert "partial_count" in plan or "partial" in plan  # map-side combine
+
+
+def test_curate_repetition_gate_drops_boilerplate(spark, tmp_path):
+    """The funnel's repetition gate drops a planted boilerplate doc
+    (same line repeated) while leaving normal docs alone."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_spark.schemas import DOCUMENTS_PA
+    from jobs.curate import curate
+
+    def _doc(doc_id, text):
+        return {
+            "doc_id": doc_id,
+            "spans": [
+                {"kind": "text", "text": text, "media_ref": None, "offset": 0}
+            ],
+        }
+
+    # pairwise-disjoint vocabularies: the funnel's near-dup stage must
+    # not collapse the keepers (rotations of ONE vocabulary would be
+    # legitimate Jaccard-1.0 near-dups)
+    greek = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lamda mu nu xi omicron pi rho sigma tau upsilon").split()
+    normal = [
+        _doc(f"keep-{i}", " ".join(f"{greek[i]}{w}" for w in greek))
+        for i in range(4)
+    ]
+    boiler = _doc("boiler", "\n".join(["subscribe to our newsletter now"] * 12))
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(normal + [boiler], schema=DOCUMENTS_PA), path
+    )
+    out = str(tmp_path / "curated")
+    funnel = curate(
+        spark, path, out,
+        min_chars=10, min_tokens=3, max_dup_line_frac=0.3,
+    )
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    assert "boiler" not in kept
+    assert {f"keep-{i}" for i in range(4)} <= kept
+    assert funnel["dropped_quality"] >= 1
