@@ -48,6 +48,7 @@ def curate(
     max_dup_line_frac: float | None = None,
     max_dup_para_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
+    redact_pii: bool = False,
 ):
     """documents → curated extracted corpus; returns the funnel dict.
 
@@ -214,6 +215,14 @@ def curate(
         )
         curated = curated.join(contaminated, "doc_id", "left_anti")
     curated = curated.drop("full_text")
+    if redact_pii:
+        # scrub emails/phones/IPv4s from every span text — one JVM
+        # transform over the payload column, applied only to the
+        # surviving rows (scrubbing pre-funnel would pay the regex on
+        # docs that get dropped anyway)
+        from docling_pdf_spark.functions.pii import redact_spans
+
+        curated = curated.withColumn("spans", redact_spans("spans"))
     curated.write.mode("overwrite").parquet(output_path)
     ok.unpersist()
     if emb_cached is not None:
@@ -272,6 +281,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="duplicate-paragraph fraction gate (Gopher 0.30)")
     ap.add_argument("--max-top-bigram-frac", type=float, default=None,
                     help="top-bigram share gate (Gopher 0.20)")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="scrub emails/phones/IPv4 from the curated "
+                         "span texts (typed [EMAIL]/[PHONE]/[IP] tokens)")
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--local-cores", type=int, default=None)
     ap.add_argument("--gen-docs", type=int, default=None,
@@ -304,6 +316,7 @@ def main(argv: list[str] | None = None) -> int:
         max_dup_line_frac=args.max_dup_line_frac,
         max_dup_para_frac=args.max_dup_para_frac,
         max_top_bigram_frac=args.max_top_bigram_frac,
+        redact_pii=args.redact_pii,
     )
     funnel["elapsed_sec"] = round(time.perf_counter() - t0, 3)
     funnel["status"] = "done"
