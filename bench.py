@@ -128,6 +128,25 @@ def _text_embedding_d1024(spark, sf_dir):
     return text_embedding(docs, dim=1024)
 
 
+def _repetition_stats(spark, sf_dir):
+    # Gopher-style dup-line/dup-para/top-bigram signals (round 5) —
+    # explode + two-level hash agg per family, JVM-only
+    from docling_pdf_spark.operators.quality import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
+def _pii_redact(spark, sf_dir):
+    # email/phone/IPv4 typed-token scrub over the corpus (round 5)
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.functions.pii import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", redact_pii("text").alias("text"))
+
+
 EXTRA_BENCH = {
     "winnow_fingerprints_fast": _winnow_fast,
     "minhash_lsh_fast": _minhash_fast,
@@ -135,6 +154,8 @@ EXTRA_BENCH = {
     "simhash_fast": _simhash_fast,
     "simhash_portable": _simhash_portable,
     "text_embedding_d1024": _text_embedding_d1024,
+    "repetition_stats": _repetition_stats,
+    "pii_redact": _pii_redact,
 }
 
 
