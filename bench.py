@@ -139,8 +139,6 @@ def _repetition_stats(spark, sf_dir):
 
 def _pii_redact(spark, sf_dir):
     # email/phone/IPv4 typed-token scrub over the corpus (round 5)
-    from pyspark.sql import functions as F
-
     from docling_pdf_spark.functions.pii import redact_pii
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

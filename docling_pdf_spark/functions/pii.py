@@ -26,11 +26,14 @@ EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 # three accepted shapes: international (+CC ...), US paren form, and
 # fully separator-grouped 3-3-4. A date like 2026-08-17 matches none
-# (its middle group is 2 digits where 3 are required).
+# (its middle group is 2 digits where 3 are required). The digit-led
+# alternative carries a LEADING \b too, so the tail of a longer digit
+# run (order id '1234-567-8901') cannot be partially redacted
+# (review-found).
 PHONE_RE = (
     r"(?:\+\d{1,3}[ .\-]?\d{2,4}[ .\-]?\d{3,4}[ .\-]?\d{3,4}"
     r"|\(\d{3}\)[ .\-]?\d{3}[ .\-]\d{4}"
-    r"|\d{3}[ .\-]\d{3}[ .\-]\d{4})\b"
+    r"|\b\d{3}[ .\-]\d{3}[ .\-]\d{4})\b"
 )
 
 _KINDS = (
@@ -74,10 +77,8 @@ def redact_spans(spans: Column | str) -> Column:
     field-for-field."""
     return F.transform(
         _c(spans),
-        lambda s: F.struct(
-            s["kind"].alias("kind"),
-            redact_pii(s["text"]).alias("text"),
-            s["media_ref"].alias("media_ref"),
-            s["offset"].alias("offset"),
-        ),
+        # withField, not a field-for-field struct rebuild: a field added
+        # to the span schema later must survive redaction unchanged
+        # instead of being silently dropped (review-found)
+        lambda s: s.withField("text", redact_pii(s["text"])),
     )

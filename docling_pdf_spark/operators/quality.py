@@ -44,49 +44,71 @@ def _dup_fraction(
     )
 
 
+ALL_SIGNALS = ("dup_line_frac", "dup_para_frac", "top_bigram_frac")
+
+
 def repetition_stats(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    signals: tuple[str, ...] = ALL_SIGNALS,
 ) -> DataFrame:
-    """(id, dup_line_frac, dup_para_frac, top_bigram_frac) per doc.
+    """(id, <signals...>) per doc — pass `signals` to compute only the
+    gates actually thresholded (the bigram pass is the most expensive
+    of the three; a caller gating on dup-line alone shouldn't pay it).
 
     Documents with no qualifying units (no non-blank line, fewer than
     two tokens) get 0.0 for the corresponding signal — "nothing
     repeats in nothing", and a degenerate doc should be caught by the
     length gates, not by a NULL leaking through a threshold predicate.
     """
+    unknown = set(signals) - set(ALL_SIGNALS)
+    if unknown or not signals:
+        raise ValueError(f"signals must be a non-empty subset of {ALL_SIGNALS}")
     c = F.col(text_col)
-    lines = _dup_fraction(docs, id_col, F.split(c, r"\n"), "dup_line_frac")
-    paras = _dup_fraction(docs, id_col, F.split(c, r"\n{2,}"), "dup_para_frac")
-
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.trim(c), r"\s+")).alias("pos", "w"),
-    ).where(F.col("w") != "")
-    grams = toks.alias("a").join(
-        toks.alias("b"),
-        (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
-        & (F.col("b.pos") == F.col("a.pos") + 1),
-    ).select(
-        F.col(f"a.{id_col}").alias(id_col),
-        F.concat_ws(" ", "a.w", "b.w").alias("g"),
-    )
-    top = (
-        grams.groupBy(id_col, "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
-    )
-    base = docs.select(id_col)
-    out = (
-        base.join(lines, id_col, "left")
-        .join(paras, id_col, "left")
-        .join(top, id_col, "left")
-    )
+    parts: list[DataFrame] = []
+    if "dup_line_frac" in signals:
+        parts.append(_dup_fraction(docs, id_col, F.split(c, r"\n"), "dup_line_frac"))
+    if "dup_para_frac" in signals:
+        parts.append(
+            _dup_fraction(docs, id_col, F.split(c, r"\n{2,}"), "dup_para_frac")
+        )
+    if "top_bigram_frac" in signals:
+        # adjacent pairs formed ARRAY-SIDE (zip of the token array with
+        # its own tail) — one explode + one groupBy per doc id; a
+        # (doc, pos)=(doc, pos+1) self-join would shuffle the exploded
+        # token stream twice more (review-found)
+        arr = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+        a = F.col("_arr")
+        grams = (
+            docs.select(F.col(id_col), arr.alias("_arr"))
+            .where(F.size(a) >= 2)  # slice length must be >= 0
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.zip_with(
+                        F.slice(a, 1, F.size(a) - 1),
+                        F.slice(a, 2, F.size(a) - 1),
+                        lambda x, y: F.concat_ws(" ", x, y),
+                    )
+                ).alias("g"),
+            )
+        )
+        parts.append(
+            grams.groupBy(id_col, "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy(id_col)
+            .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
+        )
+    out = docs.select(id_col)
+    for p in parts:
+        out = out.join(p, id_col, "left")
+    ordered = [s for s in ALL_SIGNALS if s in signals]
     return out.select(
         id_col,
         *[
             F.round(F.coalesce(F.col(n), F.lit(0.0)), 6).alias(n)
-            for n in ("dup_line_frac", "dup_para_frac", "top_bigram_frac")
+            for n in ordered
         ],
     )
 
@@ -111,10 +133,14 @@ WITH lines AS (
   SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / SUM(c) AS dup_para_frac
   FROM paras GROUP BY doc_id
 ), toks AS (
+  -- ordinality over the FILTERED token list, matching the Spark side's
+  -- zip of the filtered array with its own tail
   SELECT doc_id, w, ord
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM {table}),
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS l
+        FROM {table}),
        LATERAL (SELECT unnest(l) AS w, generate_subscripts(l, 1) AS ord) t
-  WHERE w <> ''
 ), grams AS (
   SELECT a.doc_id, a.w || ' ' || b.w AS g, count(*) AS c
   FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1

@@ -112,8 +112,24 @@ def curate(
     if any(v is not None for _, v in rep_thresholds):
         from docling_pdf_spark.operators.quality import repetition_stats
 
+        # join the text SPANS with '\n\n' for this pass: each extracted
+        # block is a paragraph, so the \n{2,} paragraph split sees real
+        # boundaries (full_text's single-'\n' join would make every doc
+        # one paragraph and the dup-para gate inert — review-found);
+        # line semantics are unchanged (split on '\n' drops the empty
+        # string between blocks). Only the thresholded signals are
+        # computed — the bigram pass is the expensive one.
+        rep_text = F.array_join(
+            F.transform(
+                F.filter(F.coalesce(F.col("spans"), F.array()),
+                         lambda s: s["kind"] == "text"),
+                lambda s: s["text"],
+            ),
+            "\n\n",
+        )
         rep = repetition_stats(
-            quality.select("doc_id", F.col("full_text").alias("text"))
+            quality.select("doc_id", rep_text.alias("text")),
+            signals=tuple(c for c, v in rep_thresholds if v is not None),
         )
         for col, v in rep_thresholds:
             if v is not None:

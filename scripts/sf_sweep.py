@@ -25,7 +25,8 @@ deterministically at 10x the sf0.1 row counts into .bench/sf1/:
   sweep (its scale path is the IVF-bucketed variant).
 
 Then every BENCH_QUERIES entry runs at all four scale points (noop
-write, --trials trials, min reported — the best estimate of true cost
+write, --trials trials at the small sfs and trials+2 at the sf0.1/sf1
+verdict endpoints, min reported — the best estimate of true cost
 on this noisy shared host) and the report flags any query whose
 t(sf1) exceeds 2 x max(10 x t(sf0.1), 1s) — double the linear-scaled
 expectation with a floor for fixed JVM overheads.
@@ -282,6 +283,10 @@ def main(argv: list[str] | None = None) -> int:
         "secs": results,
         "lineitem_rows": rows_per_sf,
         "trials": args.trials,
+        # the verdict endpoints run extra trials (see the sweep loop) —
+        # record the actual protocol so the artifact is reproducible
+        "trials_endpoint": args.trials + 2,
+        "trials_retry": 5,
         "mode": "full_registry" if args.full else "headline_bench",
         "excluded": excluded,
         "retried_after_flag": retried,

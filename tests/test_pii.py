@@ -22,6 +22,8 @@ CASES = [
     ("released 2026-08-17 at 12:30, v1.2.3 build 4567",
      "released 2026-08-17 at 12:30, v1.2.3 build 4567"),
     ("order 123456789 shipped", "order 123456789 shipped"),
+    # a longer digit run must not be PARTIALLY eaten by the 3-3-4 form
+    ("ref 1234-567-8901 attached", "ref 1234-567-8901 attached"),
     # grouped 3-3-4 phone
     ("fax 555-123-4567.", "fax [PHONE]."),
 ]

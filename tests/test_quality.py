@@ -133,3 +133,40 @@ def test_curate_repetition_gate_drops_boilerplate(spark, tmp_path):
     assert "boiler" not in kept
     assert {f"keep-{i}" for i in range(4)} <= kept
     assert funnel["dropped_quality"] >= 1
+
+
+def test_curate_dup_para_gate_sees_span_boundaries(spark, tmp_path):
+    """The dup-paragraph gate operates on the '\\n\\n'-joined text
+    SPANS (each extracted block is a paragraph) — with full_text's
+    single-'\\n' join the \\n{2,} split never fires and the gate was
+    inert (review-found). A doc made of one block repeated must drop;
+    a doc of distinct blocks must survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_spark.schemas import DOCUMENTS_PA
+    from jobs.curate import curate
+
+    def _doc(doc_id, blocks):
+        return {
+            "doc_id": doc_id,
+            "spans": [
+                {"kind": "text", "text": b, "media_ref": None, "offset": i}
+                for i, b in enumerate(blocks)
+            ],
+        }
+
+    para = "every page of this site repeats the same promotional blurb"
+    greek = ("alphaqq betaqq gammaqq deltaqq epsilonqq zetaqq etaqq "
+             "thetaqq iotaqq kappaqq").split()
+    docs = [
+        _doc("para-boiler", [para] * 6),
+        _doc("para-keep", [" ".join(greek[i:]) for i in range(4)]),
+    ]
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(docs, schema=DOCUMENTS_PA), path)
+    out = str(tmp_path / "curated")
+    curate(spark, path, out, min_chars=10, min_tokens=3,
+           max_dup_para_frac=0.3)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"para-keep"}
