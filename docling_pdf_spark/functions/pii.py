@@ -21,25 +21,41 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# the common Java/RE2 subset — keep in sync with the DuckDB twin tests
+# the common Java/RE2 subset — keep in sync with the DuckDB twin tests.
+# RE2 has no lookaround, so the dotted/grouped digit patterns guard
+# their context by CONSUMING one boundary char on each side (captured
+# and restored in the replacement as $1/$3, translated to \1/\3 for
+# DuckDB by the twin builder); a longer dotted run ('1.3.6.1.4.1.311',
+# '1.2.3.4.5', '555.123.4567.89') therefore cannot be partially eaten
+# mid-token (review-found). Because a consumed boundary is unavailable
+# to the next match, the replace runs TWO passes — back-to-back
+# occurrences separated by a single char ('1.1.1.1 2.2.2.2') land in
+# pass two.
 EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
-IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-# three accepted shapes: international (+CC ...), US paren form, and
-# fully separator-grouped 3-3-4. A date like 2026-08-17 matches none
-# (its middle group is 2 digits where 3 are required). The digit-led
-# alternative carries a LEADING \b too, so the tail of a longer digit
-# run (order id '1234-567-8901') cannot be partially redacted
-# (review-found).
-PHONE_RE = (
+# lead guard: start-of-string or a non-dot non-word char (same letter/
+# digit adjacency rejection \b gave, plus dot protection). Trail guard
+# additionally allows a sentence-ending dot — a dot NOT followed by a
+# digit — so 'fax 555-123-4567.' still redacts while '...4567.89' and
+# '1.2.3.4.5' stay whole.
+_LEAD = r"(^|[^.\w])"
+_TRAIL = r"($|[^.\w]|\.$|\.[^\d])"
+_IP_CORE = r"(?:\d{1,3}\.){3}\d{1,3}"
+IPV4_RE = rf"{_LEAD}({_IP_CORE}){_TRAIL}"
+# three accepted phone shapes: international (+CC ...), US paren form,
+# and fully separator-grouped 3-3-4. A date like 2026-08-17 matches
+# none (its middle group is 2 digits where 3 are required).
+_PHONE_CORE = (
     r"(?:\+\d{1,3}[ .\-]?\d{2,4}[ .\-]?\d{3,4}[ .\-]?\d{3,4}"
     r"|\(\d{3}\)[ .\-]?\d{3}[ .\-]\d{4}"
-    r"|\b\d{3}[ .\-]\d{3}[ .\-]\d{4})\b"
+    r"|\d{3}[ .\-]\d{3}[ .\-]\d{4})"
 )
+PHONE_RE = rf"{_LEAD}({_PHONE_CORE}){_TRAIL}"
 
+# (name, pattern, replacement with $-refs, number of replace passes)
 _KINDS = (
-    ("email", EMAIL_RE, "[EMAIL]"),
-    ("phone", PHONE_RE, "[PHONE]"),
-    ("ip", IPV4_RE, "[IP]"),
+    ("email", EMAIL_RE, "[EMAIL]", 1),
+    ("phone", PHONE_RE, "$1[PHONE]$3", 2),
+    ("ip", IPV4_RE, "$1[IP]$3", 2),
 )
 
 
@@ -53,8 +69,9 @@ def redact_pii(col: Column | str) -> Column:
     phone pattern would chew on); IP runs last (already-redacted text
     contains no digits)."""
     out = _c(col)
-    for _, pattern, token in _KINDS:
-        out = F.regexp_replace(out, F.lit(pattern), F.lit(token))
+    for _, pattern, repl, passes in _KINDS:
+        for _ in range(passes):
+            out = F.regexp_replace(out, F.lit(pattern), F.lit(repl))
     return out
 
 
@@ -62,12 +79,18 @@ def pii_counts(col: Column | str) -> Column:
     """struct(email, phone, ip) occurrence counts — the observability
     side: corpora report how much was scrubbed. Counted on the
     same-order redaction chain so counts match what redact_pii
-    actually replaced (an email is never double-counted as a phone)."""
+    actually replaced (an email is never double-counted as a phone).
+    Boundary-guarded kinds count across both replace passes (the
+    second pass picks up occurrences whose boundary char the first
+    pass consumed)."""
     text = _c(col)
-    counts = []
-    for name, pattern, token in _KINDS:
-        counts.append(F.regexp_count(text, F.lit(pattern)).alias(name))
-        text = F.regexp_replace(text, F.lit(pattern), F.lit(token))
+    counts: list[Column] = []
+    for name, pattern, repl, passes in _KINDS:
+        n = F.lit(0)
+        for _ in range(passes):
+            n = n + F.regexp_count(text, F.lit(pattern))
+            text = F.regexp_replace(text, F.lit(pattern), F.lit(repl))
+        counts.append(n.alias(name))
     return F.struct(*counts)
 
 

@@ -72,23 +72,26 @@ def curate(
     from docling_pdf_spark.operators.winnow import winnow_near_dup_pairs
     from docling_pdf_spark.pipeline import extract
 
+    def _join_text_spans(delim: str) -> "F.Column":
+        # the ONE definition of "a document's text" for the gates below
+        # (the repetition gate re-joins with '\n\n' — same span
+        # selection, different delimiter; keep them from drifting)
+        return F.array_join(
+            F.transform(
+                F.filter(F.coalesce(F.col("spans"), F.array()),
+                         lambda s: s["kind"] == "text"),
+                lambda s: s["text"],
+            ),
+            delim,
+        )
+
     docs = spark.read.parquet(input_path)
     n_input = docs.count()
     emb_cached = None
 
     extracted = extract(docs, num_partitions=num_partitions)
     # full_text for the text operators: re-join the text spans (JVM)
-    with_text = extracted.withColumn(
-        "full_text",
-        F.array_join(
-            F.transform(
-                F.filter(F.coalesce(F.col("spans"), F.array()),
-                         lambda s: s["kind"] == "text"),
-                lambda s: s["text"],
-            ),
-            "\n",
-        ),
-    )
+    with_text = extracted.withColumn("full_text", _join_text_spans("\n"))
     # persist at the extraction boundary: every downstream count and the
     # final write reuse ONE pass of the (dominant-cost) Python UDF stage
     ok = with_text.where(F.col("extraction_successful")).persist()
@@ -119,14 +122,7 @@ def curate(
         # line semantics are unchanged (split on '\n' drops the empty
         # string between blocks). Only the thresholded signals are
         # computed — the bigram pass is the expensive one.
-        rep_text = F.array_join(
-            F.transform(
-                F.filter(F.coalesce(F.col("spans"), F.array()),
-                         lambda s: s["kind"] == "text"),
-                lambda s: s["text"],
-            ),
-            "\n\n",
-        )
+        rep_text = _join_text_spans("\n\n")
         rep = repetition_stats(
             quality.select("doc_id", rep_text.alias("text")),
             signals=tuple(c for c, v in rep_thresholds if v is not None),

@@ -24,6 +24,16 @@ CASES = [
     ("order 123456789 shipped", "order 123456789 shipped"),
     # a longer digit run must not be PARTIALLY eaten by the 3-3-4 form
     ("ref 1234-567-8901 attached", "ref 1234-567-8901 attached"),
+    # longer DOTTED runs must not be partially eaten either (OIDs,
+    # 5-part versions, dot-grouped digit runs with a tail)
+    ("OID 1.3.6.1.4.1.311 here", "OID 1.3.6.1.4.1.311 here"),
+    ("release 1.2.3.4.5 shipped", "release 1.2.3.4.5 shipped"),
+    ("num 555.123.4567.89 logged", "num 555.123.4567.89 logged"),
+    # letter-adjacent dotted runs are identifiers, not IPs
+    ("build v1.2.3.4 ready", "build v1.2.3.4 ready"),
+    # back-to-back occurrences separated by ONE char: the consumed
+    # boundary is restored and the second pass picks up the neighbor
+    ("peers 1.1.1.1 2.2.2.2 up", "peers [IP] [IP] up"),
     # grouped 3-3-4 phone
     ("fax 555-123-4567.", "fax [PHONE]."),
 ]
@@ -61,10 +71,16 @@ def test_redaction_matches_duckdb_on_corpus(spark):
         docs.select("doc_id", redact_pii("text").alias("r"))
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
+    import re as _re
+
     expr = "text"
-    for _, pattern, token in _KINDS:
+    for _, pattern, repl, passes in _KINDS:
         p = pattern.replace("'", "''")
-        expr = f"regexp_replace({expr}, '{p}', '{token}', 'g')"
+        # DuckDB (RE2) replacement backrefs are \1, Spark's are $1 —
+        # mechanical translation; the PATTERN strings are identical
+        d_repl = _re.sub(r"\$(\d)", r"\\\1", repl)
+        for _ in range(passes):
+            expr = f"regexp_replace({expr}, '{p}', '{d_repl}', 'g')"
     con = duckdb.connect()
     ddf = con.execute(
         f"SELECT doc_id, {expr} AS r FROM '{SF_DIR}/documents.parquet' "

@@ -87,7 +87,8 @@ def test_repetition_stats_plan_is_jvm_only(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = formatted_plan(repetition_stats(docs))
     assert "Python" not in plan
-    assert "partial_count" in plan or "partial" in plan  # map-side combine
+    # the per-(doc, unit) dup counts must carry a map-side combine
+    assert "partial_count" in plan
 
 
 def test_curate_repetition_gate_drops_boilerplate(spark, tmp_path):
