@@ -328,10 +328,37 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-line / dup-para /
+    top-bigram fractions, operators/quality.py) — promoted to the
+    driver scoreboard in round 6 (r5 VERDICT next-round #1); the
+    oracle is the generated repetition_stats_sql twin."""
+    from docling_pdf_spark.operators.quality import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (email/phone/IPv4 typed-token redaction,
+    functions/pii.py) — promoted to the driver scoreboard in round 6
+    (r5 VERDICT next-round #1); the oracle runs the IDENTICAL pattern
+    strings (Java∩RE2 common subset) via the generated twin SQL."""
+    from docling_pdf_spark.functions.pii import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", redact_pii("text").alias("redacted"))
+
+
 def _winnow_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """winnow_near_dup_pairs as an oracled entry (the fingerprint SET
     was already oracled; this proves the whole pair pipeline — bucket
-    cap, shared-count join, Broder containment filter — exact)."""
+    cap, shared-count join, Broder containment filter — exact).
+    RETIRED from the driver registry in round 6 to free a slot for
+    `repetition_stats` (r5 VERDICT next-round #1): it is strictly
+    downstream of the still-oracled `winnow_fingerprints`, and the
+    identical Spark-vs-DuckDB comparison is pytest-pinned
+    (tests/test_queries_vs_duckdb.py::test_retired_winnow_pairs_portable)."""
     from docling_pdf_spark.operators.winnow import winnow_near_dup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -451,9 +478,14 @@ def _ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     write-time partitioning of the vector table) and the chosen probe
     ids are written to parquet; the oracle SQL replays the pruned scan
     + exact cosine + top-k over them against the embeddings view. The
-    centroid training/probe ranking stays pytest-gated (recall gates);
-    the query-time path is now EXACTLY oracled (was rows-only).
-    sim rounded to 4 — the proven DuckDB float64 parity precision."""
+    centroid training/probe ranking stays pytest-gated (recall gates).
+    sim rounded to 4 — the proven DuckDB float64 parity precision.
+    RETIRED from the driver registry in round 6 to free a slot for
+    `pii_redact` (r5 VERDICT next-round #1): its exhaustive sibling
+    `ivf_ann_topk_exhaustive` stays registered and proves the same
+    assignment/bucket-join machinery PLUS exactness; this approximate
+    path's materialized-oracle property is pytest-pinned
+    (tests/test_queries_vs_duckdb.py::test_retired_ivf_ann_topk)."""
     from pyspark.sql import functions as F
 
     from docling_pdf_spark.operators.similarity import (
@@ -672,7 +704,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_sessionization"] = _streaming_sessionization
     # oracled portable variants (generated SQL shares constants/caps
     # with the Spark plans by construction)
-    q["winnow_pairs_portable"] = _winnow_pairs_portable
     q["minhash_lsh_portable"] = _minhash_lsh_portable
     q["simhash_portable"] = _simhash_portable
     # xxhash64/centroid fast paths — exactly oracled since round 4 via
@@ -683,8 +714,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additionally anchored by its portable oracled twin above.
     q["minhash_lsh_dedup"] = _minhash_lsh
     q["simhash_near_dups"] = _simhash_near_dups
-    q["ivf_ann_topk"] = _ivf_ann_topk
     q["embedding_near_dups_bucketed"] = _embedding_near_dups_bucketed
+    # round-6 promotions (r5 VERDICT next-round #1): the two round-5
+    # curation operators take the slots freed by retiring the redundant
+    # `ivf_ann_topk` (exhaustive sibling still registered, approximate
+    # path pytest-pinned) and `winnow_pairs_portable` (downstream of
+    # the still-oracled winnow_fingerprints, pytest-pinned).
+    q["repetition_stats"] = _repetition_stats
+    q["pii_redact"] = _pii_redact
     # multimodal plumbing through the real mapInPandas kernels, oracled.
     # Registered BEFORE the exhaustive-probe entry: CORRECTNESS_r04
     # recorded exactly the first 50 of 51 registered entries (the
@@ -721,11 +758,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["streaming_sessionization"] = SQL_SESSIONIZATION
     o["minhash_lsh_portable"] = minhash_lsh_portable_oracle_sql(threshold=0.3)
-    from docling_pdf_spark.operators.winnow import winnow_pairs_oracle_sql
-
-    o["winnow_pairs_portable"] = winnow_pairs_oracle_sql(
-        min_shared=3, min_containment=0.5
-    )
+    # winnow_pairs_portable retired round 6 (slot freed for the
+    # promotions below); its twin SQL still gates it in pytest
     from docling_pdf_spark.operators.dedup import simhash_portable_oracle_sql
 
     o["simhash_portable"] = simhash_portable_oracle_sql(max_hamming=8)
@@ -753,15 +787,9 @@ def oracle_sql() -> dict[str, str]:
     o["simhash_near_dups"] = simhash_materialized_oracle_sql(
         f"{mat}/simhash_melted/*.parquet", max_hamming=8
     )
-    o["ivf_ann_topk"] = f"""
-WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-SELECT a.vec_id,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), (SELECT qv FROM q)), 4) AS sim
-FROM read_parquet('{mat}/ivf_assign/*.parquet') a
-WHERE a.bucket IN (SELECT centroid_id FROM read_parquet('{mat}/ivf_probes/*.parquet'))
-ORDER BY sim DESC, vec_id ASC
-LIMIT 10
-"""
+    # ivf_ann_topk retired round 6; its materialized-oracle SQL lives
+    # in _ivf_ann_topk_oracle_sql() and still gates the approximate
+    # path in pytest (test_retired_ivf_ann_topk)
     from docling_pdf_spark.conf import MAX_LSH_BUCKET
 
     _nd_sim = (
@@ -780,4 +808,30 @@ WHERE {_nd_sim} >= 0.3
     o["multimodal_byte_histogram"] = SQL_MULTIMODAL_BYTE_HISTOGRAM
     o["multimodal_thumbnails"] = SQL_MULTIMODAL_THUMBNAILS
     o["multimodal_frame_index"] = SQL_MULTIMODAL_FRAMES
+    # round-6 promotions: both oracles are GENERATED twins sharing
+    # their pattern strings / split regexes with the Spark plans by
+    # construction (operators/quality.py, functions/pii.py)
+    from docling_pdf_spark.operators.quality import repetition_stats_sql
+
+    o["repetition_stats"] = repetition_stats_sql("documents")
+    from docling_pdf_spark.functions.pii import redact_pii_oracle_sql
+
+    o["pii_redact"] = redact_pii_oracle_sql("documents")
     return o
+
+
+def _ivf_ann_topk_oracle_sql() -> str:
+    """Materialized-artifact oracle SQL for the RETIRED approximate
+    `ivf_ann_topk` entry (round 6): replays pruned scan + exact cosine
+    + top-k over the Spark-written assignment/probe parquet. Used by
+    tests/test_queries_vs_duckdb.py::test_retired_ivf_ann_topk."""
+    mat = os.path.dirname(_mat_path(_ORACLE_SF, "x"))
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT a.vec_id,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), (SELECT qv FROM q)), 4) AS sim
+FROM read_parquet('{mat}/ivf_assign/*.parquet') a
+WHERE a.bucket IN (SELECT centroid_id FROM read_parquet('{mat}/ivf_probes/*.parquet'))
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""

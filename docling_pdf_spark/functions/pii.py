@@ -94,6 +94,27 @@ def pii_counts(col: Column | str) -> Column:
     return F.struct(*counts)
 
 
+def redact_pii_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL twin of redact_pii over a table — the SAME pattern
+    strings (Java∩RE2 common subset) with replacement backrefs
+    mechanically translated ($1 → \\1). Generated from _KINDS so the
+    Spark chain and the oracle can never drift; used by BOTH the
+    driver `pii_redact` correctness entry and the pytest twin."""
+    import re as _re
+
+    expr = text_col
+    for _, pattern, repl, passes in _KINDS:
+        p = pattern.replace("'", "''")
+        d_repl = _re.sub(r"\$(\d)", r"\\\1", repl)
+        for _ in range(passes):
+            expr = f"regexp_replace({expr}, '{p}', '{d_repl}', 'g')"
+    return f"SELECT {id_col}, {expr} AS redacted FROM {table}"
+
+
 def redact_spans(spans: Column | str) -> Column:
     """redact_pii over every text field of a spans array (the curated
     table's payload shape) — one JVM transform, struct rebuilt

@@ -64,27 +64,19 @@ def test_redaction_matches_duckdb_on_corpus(spark):
     """The same pattern strings produce byte-identical redaction in
     DuckDB (RE2) over the sf0.01 corpus — pytest-level exactness (the
     driver registry is at its 50-entry cap)."""
-    from docling_pdf_spark.functions.pii import _KINDS, redact_pii
+    from docling_pdf_spark.functions.pii import redact_pii, redact_pii_oracle_sql
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     sdf = (
         docs.select("doc_id", redact_pii("text").alias("r"))
         .toPandas().sort_values("doc_id").reset_index(drop=True)
     )
-    import re as _re
-
-    expr = "text"
-    for _, pattern, repl, passes in _KINDS:
-        p = pattern.replace("'", "''")
-        # DuckDB (RE2) replacement backrefs are \1, Spark's are $1 —
-        # mechanical translation; the PATTERN strings are identical
-        d_repl = _re.sub(r"\$(\d)", r"\\\1", repl)
-        for _ in range(passes):
-            expr = f"regexp_replace({expr}, '{p}', '{d_repl}', 'g')"
+    # the generated twin (shared with the driver's pii_redact oracle):
+    # same pattern strings, $1 backrefs translated to RE2's \1
     con = duckdb.connect()
     ddf = con.execute(
-        f"SELECT doc_id, {expr} AS r FROM '{SF_DIR}/documents.parquet' "
-        "ORDER BY doc_id"
+        redact_pii_oracle_sql(f"'{SF_DIR}/documents.parquet'")
+        .replace("AS redacted", "AS r") + " ORDER BY doc_id"
     ).df().reset_index(drop=True)
     assert len(sdf) == len(ddf) == 500
     assert (sdf["r"] == ddf["r"]).all()

@@ -81,8 +81,7 @@ def _all_pairs():
     return [(name, q[name], o[name]) for name in sorted(o)]
 
 
-@pytest.mark.parametrize("name,fn,sql", _all_pairs(), ids=lambda p: p if isinstance(p, str) else "")
-def test_query_matches_duckdb(spark, name, fn, sql):
+def _assert_matches(spark, name, fn, sql):
     sdf = fn(spark, SF_DIR).toPandas()
     ddf = _duck().execute(sql).df()
 
@@ -93,6 +92,38 @@ def test_query_matches_duckdb(spark, name, fn, sql):
     assert not mismatches, (
         f"{name}: {len(mismatches)} mismatched rows; first: "
         f"spark={mismatches[0][0]} duckdb={mismatches[0][1]}"
+    )
+
+
+@pytest.mark.parametrize("name,fn,sql", _all_pairs(), ids=lambda p: p if isinstance(p, str) else "")
+def test_query_matches_duckdb(spark, name, fn, sql):
+    _assert_matches(spark, name, fn, sql)
+
+
+def test_retired_winnow_pairs_portable(spark):
+    """Pin for the entry RETIRED from the driver registry in round 6
+    (slot freed for repetition_stats): the whole pair pipeline —
+    bucket cap, shared-count join, Broder containment — stays exactly
+    DuckDB-checked here, same compare the driver runs."""
+    import __spark_entry__ as se
+    from docling_pdf_spark.operators.winnow import winnow_pairs_oracle_sql
+
+    _assert_matches(
+        spark, "winnow_pairs_portable", se._winnow_pairs_portable,
+        winnow_pairs_oracle_sql(min_shared=3, min_containment=0.5),
+    )
+
+
+def test_retired_ivf_ann_topk(spark):
+    """Pin for the approximate-IVF entry RETIRED from the driver
+    registry in round 6 (slot freed for pii_redact): the entry still
+    writes its assignment/probe artifacts at the oracle sf and the
+    materialized SQL replays pruned scan + exact cosine + top-k —
+    exactly as the driver checked it in rounds 4-5."""
+    import __spark_entry__ as se
+
+    _assert_matches(
+        spark, "ivf_ann_topk", se._ivf_ann_topk, se._ivf_ann_topk_oracle_sql()
     )
 
 
@@ -120,6 +151,10 @@ def test_registry_fits_driver_cap():
     )
     # the r4 casualty must be registered well clear of the tail
     assert "multimodal_frame_index" in q
+    # round-6 promotions must be ON the scoreboard, their retired
+    # donors off it (pytest-pinned above instead)
+    assert "repetition_stats" in o and "pii_redact" in o
+    assert "ivf_ann_topk" not in q and "winnow_pairs_portable" not in q
 
 
 def test_rows_only_queries_run(spark):
