@@ -129,12 +129,22 @@ def _text_embedding_d1024(spark, sf_dir):
 
 
 def _repetition_stats(spark, sf_dir):
-    # Gopher-style dup-line/dup-para/top-bigram signals (round 5) —
-    # explode + two-level hash agg per family, JVM-only
+    # Gopher-style repetition signals — round 6 widened the default
+    # set to dup-line/dup-para/top-{2,3,4}-gram (two more explode+agg
+    # passes than the r5 three-signal row; still JVM-only)
     from docling_pdf_spark.operators.quality import repetition_stats
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return repetition_stats(docs)
+
+
+def _line_shape_stats(spark, sf_dir):
+    # Gopher line-shape gates (round 6): symbol/word ratio + bullet/
+    # ellipsis line fractions — pure row expressions, zero shuffle
+    from docling_pdf_spark.operators.quality import line_shape_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return line_shape_stats(docs)
 
 
 def _pii_redact(spark, sf_dir):
@@ -153,6 +163,7 @@ EXTRA_BENCH = {
     "simhash_portable": _simhash_portable,
     "text_embedding_d1024": _text_embedding_d1024,
     "repetition_stats": _repetition_stats,
+    "line_shape_stats": _line_shape_stats,
     "pii_redact": _pii_redact,
 }
 

@@ -6,18 +6,25 @@ self-repetition:
 
 * duplicate-line fraction        — lines occurring 2+ times / lines
 * duplicate-paragraph fraction   — same over blank-line paragraphs
-* top-bigram fraction            — share of all word-bigram slots taken
-                                   by the single most frequent bigram
+* top-{2,3,4}-gram fraction      — share of all word-n-gram slots taken
+                                   by the single most frequent n-gram
+                                   (3/4-gram widths added round 6)
 
-All three are pure JVM DataFrame ops: explode → two-level hash
+All are pure JVM DataFrame ops: explode → two-level hash
 aggregation (partial+final, map-side combine) → one shuffle on the
 doc id per signal family. No Python, no UDFs — at 100 TB the cost is
 the same explode/agg shape as the n-gram dedup pass, and the final
-join of the three signal tables is co-partitioned on the id hash.
+join of the signal tables is co-partitioned on the id hash.
+
+Round 6 adds the LINE-SHAPE family (also MassiveText appendix A):
+symbol-to-word ratio and bullet/ellipsis line fractions — pure
+per-row expressions with NO shuffle at all; the curate gates apply
+them inside the same codegen filter stage as the length gates.
 
 The thresholds used by published pipelines (dup-line > 0.30,
-dup-paragraph > 0.30, top-2-gram > 0.20 → drop) are exposed as
-defaults on the curate gate, not baked in here.
+dup-paragraph > 0.30, top-{2,3,4}-gram > 0.20/0.18/0.16,
+symbol/word > 0.1, bullet lines > 0.9, ellipsis lines > 0.3 → drop)
+are exposed as defaults on the curate gate, not baked in here.
 """
 
 from __future__ import annotations
@@ -44,7 +51,34 @@ def _dup_fraction(
     )
 
 
-ALL_SIGNALS = ("dup_line_frac", "dup_para_frac", "top_bigram_frac")
+ALL_SIGNALS = (
+    "dup_line_frac",
+    "dup_para_frac",
+    "top_bigram_frac",
+    "top_3gram_frac",
+    "top_4gram_frac",
+)
+
+# signal name → word-n-gram width for the top-gram family (Gopher
+# appendix A thresholds: top 2-gram > 0.20, 3-gram > 0.18,
+# 4-gram > 0.16 → drop)
+_TOP_GRAM_N = {"top_bigram_frac": 2, "top_3gram_frac": 3, "top_4gram_frac": 4}
+
+
+def _word_ngrams(a: F.Column, n: int) -> F.Column:
+    """Array of space-joined word n-grams from a token array (caller
+    guarantees size >= n). Built ARRAY-SIDE by folding zip_with over
+    the n shifted slices — one explode + one groupBy per doc id
+    downstream; a (doc,pos)=(doc,pos+k) self-join would shuffle the
+    exploded token stream n more times (the r5 review lesson,
+    generalized from the bigram kernel)."""
+    m = F.size(a) - (n - 1)  # number of grams; >= 1 by the size guard
+    out = F.slice(a, 1, m)
+    for k in range(2, n + 1):
+        out = F.zip_with(
+            out, F.slice(a, k, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return out
 
 
 def repetition_stats(
@@ -73,33 +107,22 @@ def repetition_stats(
         parts.append(
             _dup_fraction(docs, id_col, F.split(c, r"\n{2,}"), "dup_para_frac")
         )
-    if "top_bigram_frac" in signals:
-        # adjacent pairs formed ARRAY-SIDE (zip of the token array with
-        # its own tail) — one explode + one groupBy per doc id; a
-        # (doc, pos)=(doc, pos+1) self-join would shuffle the exploded
-        # token stream twice more (review-found)
+    gram_signals = [s for s in ALL_SIGNALS if s in signals and s in _TOP_GRAM_N]
+    if gram_signals:
         arr = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
         a = F.col("_arr")
-        grams = (
-            docs.select(F.col(id_col), arr.alias("_arr"))
-            .where(F.size(a) >= 2)  # slice length must be >= 0
-            .select(
-                F.col(id_col),
-                F.explode(
-                    F.zip_with(
-                        F.slice(a, 1, F.size(a) - 1),
-                        F.slice(a, 2, F.size(a) - 1),
-                        lambda x, y: F.concat_ws(" ", x, y),
-                    )
-                ).alias("g"),
+        toks = docs.select(F.col(id_col), arr.alias("_arr"))
+        for sig in gram_signals:
+            n = _TOP_GRAM_N[sig]
+            grams = toks.where(F.size(a) >= n).select(
+                F.col(id_col), F.explode(_word_ngrams(a, n)).alias("g")
             )
-        )
-        parts.append(
-            grams.groupBy(id_col, "g")
-            .agg(F.count("*").alias("c"))
-            .groupBy(id_col)
-            .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac"))
-        )
+            parts.append(
+                grams.groupBy(id_col, "g")
+                .agg(F.count("*").alias("c"))
+                .groupBy(id_col)
+                .agg((F.max("c") / F.sum("c")).alias(sig))
+            )
     out = docs.select(id_col)
     for p in parts:
         out = out.join(p, id_col, "left")
@@ -113,47 +136,190 @@ def repetition_stats(
     )
 
 
-def repetition_stats_sql(table: str = "documents") -> str:
-    """DuckDB SQL twin of repetition_stats (pytest-level exactness
-    check — the driver registry sits at its 50-entry cap, so this
-    operator's oracle lives in tests/test_quality.py instead)."""
+# ---------------- line-shape / symbol signals (Gopher appendix A) ----
+#
+# The remaining MassiveText document-shape gates: symbol-to-word ratio
+# (hash or ellipsis symbols, > 0.1 → drop), fraction of lines starting
+# with a bullet (> 0.9 → drop), fraction of lines ending with an
+# ellipsis (> 0.3 → drop). Unlike the repetition family these need NO
+# shuffle at all — each signal is a pure per-row JVM expression over
+# the split-line array (size/filter/regexp_count), so the curate gates
+# apply them as codegen filter predicates in the same stage as the
+# length gates. Patterns live in the Java∩RE2 common subset so the
+# DuckDB twin runs the identical strings.
+
+BULLET_RE = r"^[-*•‣▪◦] "  # applied to the TRIMMED line
+ELLIPSIS_RE = r"(\.\.\.|…)$"  # trimmed line ends with an ellipsis
+
+LINE_SHAPE_SIGNALS = (
+    "symbol_word_ratio",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+)
+
+
+def _col(col: F.Column | str) -> F.Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _nonblank_lines(c: F.Column) -> F.Column:
+    return F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+
+
+def _line_frac(c: F.Column, pattern: str) -> F.Column:
+    """fraction of non-blank lines whose TRIMMED form matches pattern;
+    0.0 for a doc with no non-blank line (same "nothing qualifies in
+    nothing" convention as repetition_stats)."""
+    lines = _nonblank_lines(c)
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(pattern))) / n,
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(col: F.Column | str) -> F.Column:
+    """(# of '#' + # of '...' + # of '…') / word count — Gopher's
+    symbol-to-word ratio. 0.0 for a doc with no words."""
+    c = _col(col)
+    symbols = (
+        F.regexp_count(c, F.lit("#"))
+        + F.regexp_count(c, F.lit(r"\.\.\."))
+        + F.regexp_count(c, F.lit("…"))
+    )
+    words = F.size(F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != ""))
+    return F.when(words > 0, symbols / words).otherwise(F.lit(0.0))
+
+
+def bullet_line_frac(col: F.Column | str) -> F.Column:
+    """fraction of non-blank lines starting with a bullet marker."""
+    return _line_frac(_col(col), BULLET_RE)
+
+
+def ellipsis_line_frac(col: F.Column | str) -> F.Column:
+    """fraction of non-blank lines ending with an ellipsis."""
+    return _line_frac(_col(col), ELLIPSIS_RE)
+
+
+def line_shape_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, symbol_word_ratio, bullet_line_frac, ellipsis_line_frac)
+    per doc — the stats-table form of the three expression signals
+    (for observability / threshold tuning; the curate gates use the
+    column functions directly as filter predicates)."""
+    c = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.round(symbol_word_ratio(c), 6).alias("symbol_word_ratio"),
+        F.round(bullet_line_frac(c), 6).alias("bullet_line_frac"),
+        F.round(ellipsis_line_frac(c), 6).alias("ellipsis_line_frac"),
+    )
+
+
+def line_shape_stats_sql(table: str = "documents") -> str:
+    """DuckDB SQL twin of line_shape_stats — the same pattern strings
+    (Java∩RE2 common subset), list_filter/len as the dual of the Spark
+    size/filter array expressions."""
+    lines = (
+        "list_filter(string_split_regex(text, '\\n'), x -> trim(x) <> '')"
+    )
+    frac = (
+        "CASE WHEN len({L}) > 0 THEN "
+        "len(list_filter({L}, x -> regexp_matches(trim(x), '{p}'))) * 1.0 / len({L}) "
+        "ELSE 0.0 END"
+    )
+    words = (
+        "len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''))"
+    )
+    symbols = (
+        "len(regexp_extract_all(text, '#')) "
+        "+ len(regexp_extract_all(text, '\\.\\.\\.')) "
+        "+ len(regexp_extract_all(text, '…'))"
+    )
     return f"""
-WITH lines AS (
+SELECT doc_id,
+       round(CASE WHEN {words} > 0 THEN ({symbols}) * 1.0 / {words} ELSE 0.0 END, 6) AS symbol_word_ratio,
+       round({frac.format(L=lines, p=BULLET_RE.replace("'", "''"))}, 6) AS bullet_line_frac,
+       round({frac.format(L=lines, p=ELLIPSIS_RE.replace("'", "''"))}, 6) AS ellipsis_line_frac
+FROM {table}
+"""
+
+
+def repetition_stats_sql(
+    table: str = "documents", signals: tuple[str, ...] = ALL_SIGNALS
+) -> str:
+    """DuckDB SQL twin of repetition_stats — generated per signal so
+    the Spark plan and the oracle share structure by construction
+    (this string IS the driver's `repetition_stats` oracle since
+    round 6, and the pytest twin before that). The top-n-gram CTEs
+    chain n ordinality-joined copies of the token list — the
+    relational dual of the Spark side's fold of zip_with over n
+    shifted slices."""
+    unknown = set(signals) - set(ALL_SIGNALS)
+    if unknown or not signals:
+        raise ValueError(f"signals must be a non-empty subset of {ALL_SIGNALS}")
+    ctes: list[str] = []
+    out_cols: list[str] = []
+    if "dup_line_frac" in signals:
+        ctes.append(f"""lines AS (
   SELECT doc_id, u, count(*) AS c
   FROM (SELECT doc_id, unnest(string_split_regex(text, '\\n')) AS u FROM {table})
   WHERE trim(u) <> '' GROUP BY doc_id, u
 ), lf AS (
   SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / SUM(c) AS dup_line_frac
   FROM lines GROUP BY doc_id
-), paras AS (
+)""")
+        out_cols.append("lf.dup_line_frac")
+    if "dup_para_frac" in signals:
+        ctes.append(f"""paras AS (
   SELECT doc_id, u, count(*) AS c
   FROM (SELECT doc_id, unnest(string_split_regex(text, '\\n{{2,}}')) AS u FROM {table})
   WHERE trim(u) <> '' GROUP BY doc_id, u
 ), pf AS (
   SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 / SUM(c) AS dup_para_frac
   FROM paras GROUP BY doc_id
-), toks AS (
-  -- ordinality over the FILTERED token list, matching the Spark side's
-  -- zip of the filtered array with its own tail
+)""")
+        out_cols.append("pf.dup_para_frac")
+    gram_signals = [s for s in ALL_SIGNALS if s in signals and s in _TOP_GRAM_N]
+    if gram_signals:
+        # ordinality over the FILTERED token list, matching the Spark
+        # side's zip of the filtered array with its shifted slices
+        ctes.append(f"""toks AS (
   SELECT doc_id, w, ord
   FROM (SELECT doc_id,
                list_filter(string_split_regex(trim(text), '\\s+'),
                            x -> x <> '') AS l
         FROM {table}),
        LATERAL (SELECT unnest(l) AS w, generate_subscripts(l, 1) AS ord) t
-), grams AS (
-  SELECT a.doc_id, a.w || ' ' || b.w AS g, count(*) AS c
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
-  GROUP BY a.doc_id, g
-), tf AS (
-  SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_bigram_frac FROM grams GROUP BY doc_id
-)
+)""")
+    for sig in gram_signals:
+        n = _TOP_GRAM_N[sig]
+        joins = " ".join(
+            f"JOIN toks t{k} ON t{k}.doc_id = t1.doc_id AND t{k}.ord = t1.ord + {k - 1}"
+            for k in range(2, n + 1)
+        )
+        concat = " || ' ' || ".join(f"t{k}.w" for k in range(1, n + 1))
+        ctes.append(f"""g{n} AS (
+  SELECT t1.doc_id, {concat} AS g, count(*) AS c
+  FROM toks t1 {joins}
+  GROUP BY t1.doc_id, g
+), f{n} AS (
+  SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS {sig} FROM g{n} GROUP BY doc_id
+)""")
+        out_cols.append(f"f{n}.{sig}")
+    ordered = [s for s in ALL_SIGNALS if s in signals]
+    sel = ",\n       ".join(
+        f"round(coalesce({col}, 0.0), 6) AS {sig}"
+        for sig, col in zip(ordered, out_cols)
+    )
+    joins = "\n".join(
+        f"LEFT JOIN {col.split('.')[0]} USING (doc_id)" for col in out_cols
+    )
+    return f"""
+WITH {', '.join(ctes)}
 SELECT d.doc_id,
-       round(coalesce(lf.dup_line_frac, 0.0), 6) AS dup_line_frac,
-       round(coalesce(pf.dup_para_frac, 0.0), 6) AS dup_para_frac,
-       round(coalesce(tf.top_bigram_frac, 0.0), 6) AS top_bigram_frac
+       {sel}
 FROM {table} d
-LEFT JOIN lf USING (doc_id)
-LEFT JOIN pf USING (doc_id)
-LEFT JOIN tf USING (doc_id)
+{joins}
 """

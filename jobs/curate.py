@@ -48,6 +48,11 @@ def curate(
     max_dup_line_frac: float | None = None,
     max_dup_para_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
+    max_top_3gram_frac: float | None = None,
+    max_top_4gram_frac: float | None = None,
+    max_symbol_word_ratio: float | None = None,
+    max_bullet_line_frac: float | None = None,
+    max_ellipsis_line_frac: float | None = None,
     redact_pii: bool = False,
 ):
     """documents → curated extracted corpus; returns the funnel dict.
@@ -102,6 +107,20 @@ def curate(
         & (token_count("full_text") >= min_tokens)
         & (digit_ratio("full_text") <= max_digit_ratio)
     )
+    # optional Gopher line-shape gates — pure per-row expressions over
+    # the '\n'-joined text (no shuffle; they fuse into the same
+    # codegen filter stage as the length gates above)
+    line_shape_thresholds = [
+        ("symbol_word_ratio", max_symbol_word_ratio),
+        ("bullet_line_frac", max_bullet_line_frac),
+        ("ellipsis_line_frac", max_ellipsis_line_frac),
+    ]
+    if any(v is not None for _, v in line_shape_thresholds):
+        from docling_pdf_spark.operators import quality as Q
+
+        for name, v in line_shape_thresholds:
+            if v is not None:
+                quality = quality.where(getattr(Q, name)(F.col("full_text")) <= v)
     # optional Gopher-style repetition gates (dup-line / dup-paragraph /
     # top-bigram fractions): a second quality sub-stage — the signals
     # need an explode+agg per doc, so they only run when a threshold is
@@ -111,6 +130,8 @@ def curate(
         ("dup_line_frac", max_dup_line_frac),
         ("dup_para_frac", max_dup_para_frac),
         ("top_bigram_frac", max_top_bigram_frac),
+        ("top_3gram_frac", max_top_3gram_frac),
+        ("top_4gram_frac", max_top_4gram_frac),
     ]
     if any(v is not None for _, v in rep_thresholds):
         from docling_pdf_spark.operators.quality import repetition_stats
@@ -293,6 +314,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="duplicate-paragraph fraction gate (Gopher 0.30)")
     ap.add_argument("--max-top-bigram-frac", type=float, default=None,
                     help="top-bigram share gate (Gopher 0.20)")
+    ap.add_argument("--max-top-3gram-frac", type=float, default=None,
+                    help="top-3-gram share gate (Gopher 0.18)")
+    ap.add_argument("--max-top-4gram-frac", type=float, default=None,
+                    help="top-4-gram share gate (Gopher 0.16)")
+    ap.add_argument("--max-symbol-word-ratio", type=float, default=None,
+                    help="hash/ellipsis symbols per word gate (Gopher 0.1)")
+    ap.add_argument("--max-bullet-line-frac", type=float, default=None,
+                    help="fraction of bullet-started lines gate (Gopher 0.9)")
+    ap.add_argument("--max-ellipsis-line-frac", type=float, default=None,
+                    help="fraction of ellipsis-ended lines gate (Gopher 0.3)")
     ap.add_argument("--redact-pii", action="store_true",
                     help="scrub emails/phones/IPv4 from the curated "
                          "span texts (typed [EMAIL]/[PHONE]/[IP] tokens)")
@@ -328,6 +359,11 @@ def main(argv: list[str] | None = None) -> int:
         max_dup_line_frac=args.max_dup_line_frac,
         max_dup_para_frac=args.max_dup_para_frac,
         max_top_bigram_frac=args.max_top_bigram_frac,
+        max_top_3gram_frac=args.max_top_3gram_frac,
+        max_top_4gram_frac=args.max_top_4gram_frac,
+        max_symbol_word_ratio=args.max_symbol_word_ratio,
+        max_bullet_line_frac=args.max_bullet_line_frac,
+        max_ellipsis_line_frac=args.max_ellipsis_line_frac,
         redact_pii=args.redact_pii,
     )
     funnel["elapsed_sec"] = round(time.perf_counter() - t0, 3)

@@ -171,3 +171,193 @@ def test_curate_dup_para_gate_sees_span_boundaries(spark, tmp_path):
            max_dup_para_frac=0.3)
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {"para-keep"}
+
+
+# ---------------- round-6 extensions: top-3/4-gram + line-shape ------
+
+
+def test_top_ngram_hand_computed(spark):
+    from docling_pdf_spark.operators.quality import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # tokens [a b c a b c a b x]: 7 trigram slots, "a b c" x2
+            # -> 2/7; 6 4-gram slots, "a b c a" x2 -> 2/6
+            ("tri", "a b c a b c a b x"),
+            # 3 tokens: exactly one trigram (frac 1.0), no 4-gram -> 0
+            ("exact3", "p q r"),
+            ("tiny", "hello there"),  # bigram 1.0, no trigram
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["top_3gram_frac"], r["top_4gram_frac"])
+        for r in repetition_stats(
+            docs, signals=("top_3gram_frac", "top_4gram_frac")
+        ).collect()
+    }
+    assert got["tri"] == (pytest.approx(2 / 7), pytest.approx(2 / 6))
+    assert got["exact3"] == (1.0, 0.0)
+    assert got["tiny"] == (0.0, 0.0)
+
+
+def test_line_shape_hand_computed(spark):
+    from docling_pdf_spark.operators.quality import line_shape_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-blank lines: 3 bullets (-, *, •), 1 ellipsis-ended
+            ("bul", "- one\n* two\n• three\n\nplain tail..."),
+            # symbols: 2 '#' + 1 '...' + 1 '…' = 4 over 7 words
+            # (see, #tag, and, #more, then, wait..., ok…)
+            ("sym", "see #tag and #more then wait... ok…"),
+            # hyphenated word is NOT a bullet (needs trailing space);
+            # '...' mid-line does not count as line-ending
+            ("neg", "well-known fact\nwait... then go"),
+            ("empty", "   \n\n  "),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (
+            r["symbol_word_ratio"], r["bullet_line_frac"], r["ellipsis_line_frac"]
+        )
+        for r in line_shape_stats(docs).collect()
+    }
+    assert got["bul"][1] == pytest.approx(3 / 4)
+    assert got["bul"][2] == pytest.approx(1 / 4)
+    assert got["sym"][0] == pytest.approx(round(4 / 7, 6))
+    assert got["neg"][1] == 0.0 and got["neg"][2] == 0.0
+    assert got["empty"] == (0.0, 0.0, 0.0)
+
+
+def test_line_shape_matches_duckdb(spark):
+    """Value-level Spark-vs-DuckDB parity for the line-shape signals on
+    the sf0.01 corpus — same pattern strings both engines."""
+    from docling_pdf_spark.operators.quality import (
+        line_shape_stats,
+        line_shape_stats_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sdf = line_shape_stats(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    ddf = (
+        con.execute(line_shape_stats_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(sdf) == len(ddf) == 500
+    for col in ("symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac"):
+        assert (sdf[col] == ddf[col]).all(), col
+
+
+def test_line_shape_plan_is_narrow_jvm(spark):
+    """The line-shape signals are pure row expressions: the plan must
+    contain NO shuffle and NO Python — at 100 TB they ride the same
+    codegen filter stage as the length gates."""
+    from docling_pdf_spark.operators.quality import line_shape_stats
+    from docling_pdf_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = formatted_plan(line_shape_stats(docs))
+    assert "Exchange (" not in plan
+    assert "Python" not in plan
+
+
+def test_extended_repetition_matches_duckdb(spark):
+    """The widened signal set (top-3/4-gram) stays exactly oracled —
+    this is the same generated SQL the driver's repetition_stats entry
+    runs since round 6."""
+    from docling_pdf_spark.operators.quality import (
+        repetition_stats,
+        repetition_stats_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sdf = (
+        repetition_stats(docs, signals=("top_3gram_frac", "top_4gram_frac"))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    ddf = (
+        con.execute(
+            repetition_stats_sql(signals=("top_3gram_frac", "top_4gram_frac"))
+        )
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    for col in ("top_3gram_frac", "top_4gram_frac"):
+        assert (sdf[col] == ddf[col]).all(), col
+
+
+def test_curate_line_shape_gates(spark, tmp_path):
+    """The new line-shape gates drop a bullet-list doc and an
+    ellipsis-heavy doc while keeping prose."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_spark.schemas import DOCUMENTS_PA
+    from jobs.curate import curate
+
+    def _doc(doc_id, text):
+        return {
+            "doc_id": doc_id,
+            "spans": [
+                {"kind": "text", "text": text, "media_ref": None, "offset": 0}
+            ],
+        }
+
+    bullets = "\n".join(f"- item number {w}" for w in
+                        "one two three four five six".split())
+    dots = "\n".join(f"loading {w} please wait..." for w in
+                     "alpha beta gamma delta".split())
+    prose = ("the quiet harbor town woke slowly under a pale morning sky "
+             "while fishermen checked their nets along the stone pier")
+    docs = [_doc("bullets", bullets), _doc("dots", dots), _doc("prose", prose)]
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(docs, schema=DOCUMENTS_PA), path)
+    out = str(tmp_path / "curated")
+    funnel = curate(
+        spark, path, out, min_chars=10, min_tokens=3,
+        max_bullet_line_frac=0.9, max_ellipsis_line_frac=0.3,
+    )
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"prose"}
+    assert funnel["dropped_quality"] == 2
+
+
+def test_curate_top_ngram_gate(spark, tmp_path):
+    """The top-3-gram gate drops a doc dominated by one repeated
+    trigram phrase."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_pdf_spark.schemas import DOCUMENTS_PA
+    from jobs.curate import curate
+
+    def _doc(doc_id, text):
+        return {
+            "doc_id": doc_id,
+            "spans": [
+                {"kind": "text", "text": text, "media_ref": None, "offset": 0}
+            ],
+        }
+
+    spam = " ".join(["click here now"] * 10)
+    prose = ("a winding path led through the orchard where late apples "
+             "hung heavy and wasps traced lazy circles in the warm air")
+    docs = [_doc("spam", spam), _doc("prose", prose)]
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(docs, schema=DOCUMENTS_PA), path)
+    out = str(tmp_path / "curated")
+    curate(spark, path, out, min_chars=10, min_tokens=3,
+           max_top_3gram_frac=0.18)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"prose"}
