@@ -54,6 +54,7 @@ def curate(
     max_bullet_line_frac: float | None = None,
     max_ellipsis_line_frac: float | None = None,
     redact_pii: bool = False,
+    redact_pii_aggressive: bool = False,
 ):
     """documents → curated extracted corpus; returns the funnel dict.
 
@@ -248,14 +249,16 @@ def curate(
         )
         curated = curated.join(contaminated, "doc_id", "left_anti")
     curated = curated.drop("full_text")
-    if redact_pii:
+    if redact_pii or redact_pii_aggressive:
         # scrub emails/phones/IPv4s from every span text — one JVM
         # transform over the payload column, applied only to the
         # surviving rows (scrubbing pre-funnel would pay the regex on
         # docs that get dropped anyway)
         from docling_pdf_spark.functions.pii import redact_spans
 
-        curated = curated.withColumn("spans", redact_spans("spans"))
+        curated = curated.withColumn(
+            "spans", redact_spans("spans", aggressive=redact_pii_aggressive)
+        )
     curated.write.mode("overwrite").parquet(output_path)
     ok.unpersist()
     if emb_cached is not None:
@@ -325,8 +328,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-ellipsis-line-frac", type=float, default=None,
                     help="fraction of ellipsis-ended lines gate (Gopher 0.3)")
     ap.add_argument("--redact-pii", action="store_true",
-                    help="scrub emails/phones/IPv4 from the curated "
-                         "span texts (typed [EMAIL]/[PHONE]/[IP] tokens)")
+                    help="scrub emails/phones/SSNs/IPv4 from the curated "
+                         "span texts (typed [EMAIL]/[PHONE]/[SSN]/[IP] tokens)")
+    ap.add_argument("--redact-pii-aggressive", action="store_true",
+                    help="additionally scrub bare 10/11-digit NANP runs and "
+                         "IBANs (documented FP classes: unix timestamps, "
+                         "10-digit order ids — see functions/pii.py)")
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--local-cores", type=int, default=None)
     ap.add_argument("--gen-docs", type=int, default=None,
@@ -365,6 +372,7 @@ def main(argv: list[str] | None = None) -> int:
         max_bullet_line_frac=args.max_bullet_line_frac,
         max_ellipsis_line_frac=args.max_ellipsis_line_frac,
         redact_pii=args.redact_pii,
+        redact_pii_aggressive=args.redact_pii_aggressive,
     )
     funnel["elapsed_sec"] = round(time.perf_counter() - t0, 3)
     funnel["status"] = "done"
