@@ -146,6 +146,13 @@ def main(argv: list[str] | None = None) -> int:
             decon_eval=evalp, decon_gram_words=8,
         )
         times.append(time.perf_counter() - t0)
+        # stage accounting sanity (r5 VERDICT #6): every stage timing
+        # in the funnel must be a real action wall — their sum can't
+        # exceed the trial wall, and the actions dominate it (the gap
+        # is driver-side planning/unpersist)
+        stage_sum = sum(s["wall_s"] for s in funnel["stages"])
+        assert stage_sum <= times[-1] + 0.05, (stage_sum, times[-1])
+        assert stage_sum >= 0.6 * times[-1], (stage_sum, times[-1])
     med, mn = statistics.median(times), min(times)
     rec = {
         "metric": "curate_funnel_docs_per_sec",

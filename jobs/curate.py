@@ -91,8 +91,24 @@ def curate(
             delim,
         )
 
+    # per-stage observability (r5 VERDICT #6): Spark is lazy, so each
+    # stage's wall time is attributed to the ACTION that materializes
+    # it (the counts the funnel needs anyway). The stages list rides
+    # in the funnel JSON so a 100 TB operator can see which stage
+    # moved without a bench harness.
+    stages: list[dict] = []
+
+    def _stage(name: str, rows_in, action):
+        t = time.perf_counter()
+        out = action()
+        stages.append(
+            {"stage": name, "wall_s": round(time.perf_counter() - t, 3),
+             "rows_in": rows_in, "rows_out": out}
+        )
+        return out
+
     docs = spark.read.parquet(input_path)
-    n_input = docs.count()
+    n_input = _stage("read_input", None, docs.count)
     emb_cached = None
 
     extracted = extract(docs, num_partitions=num_partitions)
@@ -101,7 +117,7 @@ def curate(
     # persist at the extraction boundary: every downstream count and the
     # final write reuse ONE pass of the (dominant-cost) Python UDF stage
     ok = with_text.where(F.col("extraction_successful")).persist()
-    n_ok = ok.count()
+    n_ok = _stage("extract", n_input, ok.count)
     # quality gates — pure codegen predicates on the extracted text
     quality = ok.where(
         (F.col("n_chars") >= min_chars)
@@ -153,7 +169,7 @@ def curate(
             if v is not None:
                 rep = rep.where(F.col(col) <= v)
         quality = quality.join(rep.select("doc_id"), "doc_id", "left_semi")
-    n_quality = quality.count()
+    n_quality = _stage("quality_gates", n_ok, quality.count)
 
     # exact dedup: keep the lexicographically-first doc_id per text hash
     # — one shuffle on the hash (a broadcast keeper list would be
@@ -166,7 +182,7 @@ def curate(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    n_exact = exact.count()
+    n_exact = _stage("exact_dedup", n_quality, exact.count)
 
     # near-dup drop: for every candidate pair, drop doc_b
     # (deterministic: pairs are emitted with doc_a < doc_b)
@@ -210,21 +226,19 @@ def curate(
     # so the drop list is O(duplicate docs) — TB-scale at 100 TB input —
     # and a forced broadcast OOMs the driver (round-2 ADVICE). AQE picks
     # broadcast on its own when the built side is measured small.
-    curated = exact.join(drop, "doc_id", "left_anti")
-    n_after_near = None
-    cur_cached = None
+    # persist + count at the near-dup boundary (always, since r6): the
+    # count IS the near_dup stage's timing action, and the persisted
+    # set is reused by the decon subtree (both sides) and the final
+    # write instead of re-running the pair DAG (review-found in r4 for
+    # the decon path; unified here for stage observability)
+    curated = cur_cached = exact.join(drop, "doc_id", "left_anti").persist()
+    n_after_near = _stage("near_dup_drop", n_exact, curated.count)
     if decon_eval:
         if decon_gram_words < 2:
             # 0 would make every position the empty gram '' on BOTH
             # sides → the whole corpus flags contaminated (review-found)
             raise ValueError(f"decon_gram_words must be >= 2, got {decon_gram_words}")
         from docling_pdf_spark.operators.dedup import _gram_arrays
-
-        # persist: the count below, the contaminated subtree AND the
-        # final write's left side would otherwise each re-run the
-        # near-dup pair DAG upstream of `curated` (review-found)
-        curated = cur_cached = curated.persist()
-        n_after_near = curated.count()
         # whitespace-normalize BOTH sides before gramming: full_text
         # joins spans with '\n' and benchmark dumps carry newlines —
         # split-on-space would otherwise produce 'word8\nword9' tokens
@@ -259,14 +273,22 @@ def curate(
         curated = curated.withColumn(
             "spans", redact_spans("spans", aggressive=redact_pii_aggressive)
         )
+    # the write stage covers decontamination (when set), PII redaction
+    # (when set) and the parquet IO — everything downstream of the
+    # persisted near-dup boundary
+    t_w = time.perf_counter()
     curated.write.mode("overwrite").parquet(output_path)
+    n_curated = spark.read.parquet(output_path).count()
+    stages.append(
+        {"stage": "decon_redact_write",
+         "wall_s": round(time.perf_counter() - t_w, 3),
+         "rows_in": n_after_near, "rows_out": n_curated}
+    )
     ok.unpersist()
     if emb_cached is not None:
         emb_cached.unpersist()
-    if cur_cached is not None:
-        cur_cached.unpersist()
+    cur_cached.unpersist()
 
-    n_curated = spark.read.parquet(output_path).count()
     return {
         "n_input": n_input,
         "n_extracted_ok": n_ok,
@@ -279,14 +301,13 @@ def curate(
         "dropped_extraction_failed": n_input - n_ok,
         "dropped_quality": n_ok - n_quality,
         "dropped_exact_dups": n_quality - n_exact,
-        "dropped_near_dups": (
-            n_exact - n_curated if n_after_near is None else n_exact - n_after_near
-        ),
+        "dropped_near_dups": n_exact - n_after_near,
         **(
             {"dropped_contaminated": n_after_near - n_curated}
-            if n_after_near is not None
+            if decon_eval
             else {}
         ),
+        "stages": stages,
     }
 
 
