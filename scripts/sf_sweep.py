@@ -272,7 +272,9 @@ def main(argv: list[str] | None = None) -> int:
                 t0 = time.perf_counter()
                 q[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
-            results[name][sf] = round(min(times), 3)
+            # merge, never overwrite: a noisier retry must not discard a
+            # cleaner first-pass measurement (round-5 ADVICE)
+            results[name][sf] = round(min(results[name][sf], min(times)), 3)
     flagged, ratios = _flags()
     rec = {
         "metric": "sf_sweep_superlinear_flags",
