@@ -29,9 +29,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-KNOWN_KINDS = ("text", "html", "pdf", "table", "image", "audio", "video")
+# The repo's span vocabulary (FIXTURES.md / SURVEY §1.4): input docs
+# carry text/html/pdf/media spans; extraction output carries
+# text/table/image (+ passthrough media). media and image spans are
+# the ones that must link a media_ref.
+KNOWN_KINDS = ("text", "html", "pdf", "media", "table", "image")
 
-_MEDIA_KINDS = ("image", "audio", "video")
+_MEDIA_KINDS = ("media", "image")
 
 
 def _text_offsets(spans: Column) -> Column:
@@ -112,16 +116,18 @@ def spans_audit_sql(table: str) -> str:
     offs = f"list_transform(list_filter({spans}, x -> x.kind = 'text'), x -> x.\"offset\")"
     kinds = ", ".join(f"'{k}'" for k in KNOWN_KINDS)
     media = ", ".join(f"'{k}'" for k in _MEDIA_KINDS)
+    # CAST(... AS INT): Spark's size() is int32 — the driver's schema
+    # compare is type-aware (same reason SQL_MULTIMODAL_FRAMES casts)
     return f"""
 SELECT doc_id,
-       len({spans}) AS n_spans,
-       len(list_filter({spans}, x -> x.kind = 'text')) AS n_text,
-       len(list_filter({spans}, x -> x.kind IN ({media}))) AS n_media,
-       len(list_filter({spans}, x -> x.kind NOT IN ({kinds}))) AS n_unknown_kind,
-       len(list_filter({spans}, x -> x.kind IN ({media})
-             AND (x.media_ref IS NULL OR x.media_ref = ''))) AS n_orphan_media,
-       len(list_filter({spans}, x -> x.kind = 'text'
-             AND (x.text IS NULL OR trim(x.text) = ''))) AS n_empty_text,
+       CAST(len({spans}) AS INT) AS n_spans,
+       CAST(len(list_filter({spans}, x -> x.kind = 'text')) AS INT) AS n_text,
+       CAST(len(list_filter({spans}, x -> x.kind IN ({media}))) AS INT) AS n_media,
+       CAST(len(list_filter({spans}, x -> x.kind NOT IN ({kinds}))) AS INT) AS n_unknown_kind,
+       CAST(len(list_filter({spans}, x -> x.kind IN ({media})
+             AND (x.media_ref IS NULL OR x.media_ref = ''))) AS INT) AS n_orphan_media,
+       CAST(len(list_filter({spans}, x -> x.kind = 'text'
+             AND (x.text IS NULL OR trim(x.text) = ''))) AS INT) AS n_empty_text,
        (list_sort({offs}) = {offs}
         AND len(list_distinct({offs})) = len({offs})) AS text_offsets_monotonic,
        (len(list_filter({spans}, x -> x.kind NOT IN ({kinds}))) = 0

@@ -127,6 +127,31 @@ def test_retired_ivf_ann_topk(spark):
     )
 
 
+def test_retired_simhash_portable(spark):
+    """Pin for the portable-simhash entry RETIRED in round 6 2nd wave
+    (slot freed for spans_audit): the end-to-end portable hash +
+    pigeonhole chunk + hamming filter stays exactly DuckDB-checked
+    here; the family's fast path stays ON the scoreboard via the
+    materialized simhash_near_dups entry."""
+    import __spark_entry__ as se
+    from docling_pdf_spark.operators.dedup import simhash_portable_oracle_sql
+
+    _assert_matches(
+        spark, "simhash_portable", se._simhash_portable,
+        simhash_portable_oracle_sql(max_hamming=8),
+    )
+
+
+def test_retired_top_orders(spark):
+    """Pin for the TPC-H-ish join entry RETIRED in round 6 2nd wave
+    (slot freed for per_source_cap): joins stay scoreboard-proven by
+    resume_anti_join / regional_revenue / asof_last_purchase."""
+    from docling_pdf_spark.queries import CATALOG
+
+    fn, sql = CATALOG["top_orders"]
+    _assert_matches(spark, "top_orders", fn, sql)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as se
 
@@ -155,6 +180,9 @@ def test_registry_fits_driver_cap():
     # donors off it (pytest-pinned above instead)
     assert "repetition_stats" in o and "pii_redact" in o
     assert "ivf_ann_topk" not in q and "winnow_pairs_portable" not in q
+    # 2nd wave
+    assert "per_source_cap" in o and "spans_audit" in o
+    assert "simhash_portable" not in q and "top_orders" not in q
 
 
 def test_rows_only_queries_run(spark):

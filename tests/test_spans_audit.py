@@ -30,7 +30,7 @@ HAND_DOCS = [
     # duplicate offset (not strictly increasing)
     _doc("dup-off", [("text", "a", None, 5), ("text", "b", None, 5)]),
     # orphan media (no ref) + unknown kind
-    _doc("orphan", [("text", "x", None, 0), ("video", None, None, -1),
+    _doc("orphan", [("text", "x", None, 0), ("media", None, None, -1),
                     ("blob", None, None, -1)]),
     # empty text span
     _doc("empty-text", [("text", "   ", None, 0)]),
