@@ -219,8 +219,16 @@ def run_executor_grid(args, corpus: str, levels) -> int:
         pairs.append((b["docs_per_sec"] / a["docs_per_sec"] / (n4 / n), a, b))
     pairs.sort(key=lambda p: p[0])
     eff, a_med, b_med = pairs[len(pairs) // 2]
+    try:
+        git_rev = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except OSError:
+        git_rev = None
     run = {
         "recorded": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+        "git_rev": git_rev,
         "levels": {"1_executor": a_med, f"{n4 // n}_executors": b_med},
         "pair_efficiencies": [round(p[0], 3) for p in pairs],
         "scaling_efficiency": round(eff, 3),
@@ -236,6 +244,8 @@ def run_executor_grid(args, corpus: str, levels) -> int:
     if os.path.exists(out_path):
         try:
             prev = json.load(open(out_path))
+            if not isinstance(prev, dict):
+                prev = {}
             history = prev.get("history", [])
             if not history:  # legacy single-run file
                 history = [{k: prev[k] for k in
@@ -245,9 +255,11 @@ def run_executor_grid(args, corpus: str, levels) -> int:
         except (json.JSONDecodeError, OSError):
             pass
     history.append(run)
+    # best run is informational only; a migrated legacy entry may lack
+    # keys, so never index it directly
     best = max(
         (h for h in history if h.get("passes_0.8_gate")),
-        key=lambda h: h["scaling_efficiency"],
+        key=lambda h: h.get("scaling_efficiency", 0.0),
         default=run,
     )
     summary = {
@@ -255,12 +267,16 @@ def run_executor_grid(args, corpus: str, levels) -> int:
         "gate": "throughput scaling efficiency >= 0.8 between N and 4N executors",
         "best_passing_run": best,
         "history": history,
-        # top-level mirrors: the best recorded passing run (or the
-        # latest run if none passes yet)
-        "levels": best["levels"],
-        "pair_efficiencies": best["pair_efficiencies"],
-        "scaling_efficiency": best["scaling_efficiency"],
-        "passes_0.8_gate": best["passes_0.8_gate"],
+        # top-level mirrors: the CURRENT run — these keys historically
+        # meant "this run", and mirroring the best historical pass here
+        # would hide a genuine regression behind a stale green (a
+        # consumer reading passes_0.8_gate must see today's code's
+        # result; the quiet-window evidence lives in best_passing_run
+        # and history, attributed)
+        "levels": run["levels"],
+        "pair_efficiencies": run["pair_efficiencies"],
+        "scaling_efficiency": run["scaling_efficiency"],
+        "passes_0.8_gate": run["passes_0.8_gate"],
     }
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)

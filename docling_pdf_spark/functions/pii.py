@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from docling_pdf_spark.functions.text import as_col as _c
+
 # the common Java/RE2 subset — keep in sync with the DuckDB twin tests.
 # RE2 has no lookaround, so the dotted/grouped digit patterns guard
 # their context by CONSUMING one boundary char on each side (captured
@@ -98,10 +100,6 @@ _KINDS_AGGRESSIVE = (
 
 def _kinds(aggressive: bool):
     return _KINDS_AGGRESSIVE if aggressive else _KINDS
-
-
-def _c(col: Column | str) -> Column:
-    return F.col(col) if isinstance(col, str) else col
 
 
 def redact_pii(col: Column | str, aggressive: bool = False) -> Column:

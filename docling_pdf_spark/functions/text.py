@@ -9,6 +9,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def as_col(col: Column | str) -> Column:
+    """str-or-Column coercion — the single repo-wide definition."""
+    return F.col(col) if isinstance(col, str) else col
+
+
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (len(text.split()) semantics,
     pdf_extractor.py:456)."""

@@ -54,10 +54,20 @@ def per_source_cap(
     wrapped via F.col(...).desc() semantics is NOT supported here;
     instead pass a Column whose ascending order is the keep-priority
     (e.g. `-F.col("quality_score")` keeps the highest scores first).
+
+    NULL order values rank LAST (lowest keep-priority): Spark's bare
+    ascending sort is NULLS FIRST, which would hand unknown-quality
+    docs top priority AND diverge from the DuckDB twin (NULLS LAST in
+    both directions by default) — so the ascending null order is
+    pinned explicitly here and emitted explicitly in the twin SQL.
     """
     if cap < 1:
         raise ValueError(f"cap must be >= 1, got {cap}")
-    order = [order_by, F.col(id_col)] if order_by is not None else [F.col(id_col)]
+    order = (
+        [order_by.asc_nulls_last(), F.col(id_col)]
+        if order_by is not None
+        else [F.col(id_col)]
+    )
 
     # phase 1: per-(source, salt) rank — bounded partitions under Zipf
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
@@ -106,8 +116,10 @@ def per_source_cap_sql(
 ) -> str:
     """DuckDB twin: the NAIVE single-window form — the two-phase Spark
     plan must be value-identical to it (that equality is the point of
-    the phase-1 no-eviction argument above)."""
-    order = f"{order_sql}, {id_col}" if order_sql else id_col
+    the phase-1 no-eviction argument above). `order_sql` must be a
+    single order term (e.g. "n_chars DESC"); NULLS LAST is appended
+    explicitly to pin the null order the Spark side declares."""
+    order = f"{order_sql} NULLS LAST, {id_col}" if order_sql else id_col
     return f"""
 SELECT * EXCLUDE (_rn) FROM (
   SELECT *, row_number() OVER (PARTITION BY {key_col} ORDER BY {order}) AS _rn

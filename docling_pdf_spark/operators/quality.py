@@ -158,8 +158,8 @@ LINE_SHAPE_SIGNALS = (
 )
 
 
-def _col(col: F.Column | str) -> F.Column:
-    return F.col(col) if isinstance(col, str) else col
+# shared str-or-Column coercion (single definition repo-wide)
+from docling_pdf_spark.functions.text import as_col as _col
 
 
 def _nonblank_lines(c: F.Column) -> F.Column:

@@ -51,11 +51,28 @@ def spans_audit(
     n_empty_text, text_offsets_monotonic, audit_ok) per document."""
     spans = F.coalesce(F.col(spans_col), F.array())
     offs = _text_offsets(spans)
-    monotonic = (F.array_sort(offs) == offs) & (
-        F.size(F.array_distinct(offs)) == F.size(offs)
+    # A NULL offset is itself a monotonicity violation — and must be
+    # tested explicitly: array_sort(offs) == offs is NULL (not false)
+    # when offs contains a NULL element, which would make audit_ok NULL
+    # and the row invisible to both sides of audit_summary's census.
+    # FALSE & NULL = FALSE, so leading with the null-free conjunct
+    # pins the verdict to a real boolean. The DuckDB twin leads with
+    # the literally-equivalent list_filter(x IS NULL) conjunct
+    # (list_distinct there additionally STRIPS nulls, so without this
+    # guard the two engines disagree NULL-vs-false on such rows).
+    no_null_offs = ~F.exists(offs, lambda x: x.isNull())
+    monotonic = (
+        no_null_offs
+        & (F.array_sort(offs) == offs)
+        & (F.size(F.array_distinct(offs)) == F.size(offs))
     )
+    # NULL kind is unknown, not invisible: bare ~isin() is NULL for
+    # NULL kinds and F.filter drops NULL-predicate elements.
     n_unknown = F.size(
-        F.filter(spans, lambda s: ~s["kind"].isin(*KNOWN_KINDS))
+        F.filter(
+            spans,
+            lambda s: s["kind"].isNull() | ~s["kind"].isin(*KNOWN_KINDS),
+        )
     )
     n_orphan = F.size(
         F.filter(
@@ -118,24 +135,26 @@ def spans_audit_sql(table: str) -> str:
     media = ", ".join(f"'{k}'" for k in _MEDIA_KINDS)
     # CAST(... AS INT): Spark's size() is int32 — the driver's schema
     # compare is type-aware (same reason SQL_MULTIMODAL_FRAMES casts)
+    # audit_ok references the aliased columns laterally (DuckDB lateral
+    # column aliases) so each audit rule is written exactly once —
+    # mirroring the Spark side, which builds audit_ok from the named
+    # columns. The null-offset conjunct leads text_offsets_monotonic
+    # for the same FALSE-over-NULL reason as the Spark plan (see
+    # spans_audit above).
     return f"""
 SELECT doc_id,
        CAST(len({spans}) AS INT) AS n_spans,
        CAST(len(list_filter({spans}, x -> x.kind = 'text')) AS INT) AS n_text,
        CAST(len(list_filter({spans}, x -> x.kind IN ({media}))) AS INT) AS n_media,
-       CAST(len(list_filter({spans}, x -> x.kind NOT IN ({kinds}))) AS INT) AS n_unknown_kind,
+       CAST(len(list_filter({spans}, x -> x.kind IS NULL OR x.kind NOT IN ({kinds}))) AS INT) AS n_unknown_kind,
        CAST(len(list_filter({spans}, x -> x.kind IN ({media})
              AND (x.media_ref IS NULL OR x.media_ref = ''))) AS INT) AS n_orphan_media,
        CAST(len(list_filter({spans}, x -> x.kind = 'text'
              AND (x.text IS NULL OR trim(x.text) = ''))) AS INT) AS n_empty_text,
-       (list_sort({offs}) = {offs}
-        AND len(list_distinct({offs})) = len({offs})) AS text_offsets_monotonic,
-       (len(list_filter({spans}, x -> x.kind NOT IN ({kinds}))) = 0
-        AND len(list_filter({spans}, x -> x.kind IN ({media})
-              AND (x.media_ref IS NULL OR x.media_ref = ''))) = 0
-        AND len(list_filter({spans}, x -> x.kind = 'text'
-              AND (x.text IS NULL OR trim(x.text) = ''))) = 0
+       (len(list_filter({offs}, x -> x IS NULL)) = 0
         AND list_sort({offs}) = {offs}
-        AND len(list_distinct({offs})) = len({offs})) AS audit_ok
+        AND len(list_distinct({offs})) = len({offs})) AS text_offsets_monotonic,
+       (n_unknown_kind = 0 AND n_orphan_media = 0 AND n_empty_text = 0
+        AND text_offsets_monotonic) AS audit_ok
 FROM {table}
 """

@@ -79,6 +79,34 @@ def test_cap_hand_case(spark):
     assert got == {("s0", 0), ("s0", 3), ("s1", 1), ("s1", 4), ("s2", 2), ("s2", 5)}
 
 
+def test_cap_null_order_values_rank_last(spark):
+    """NULL order values get LOWEST keep-priority on both engines:
+    Spark's bare ascending sort is NULLS FIRST (which would keep an
+    unknown-quality doc over a real one) while DuckDB defaults NULLS
+    LAST in both directions — the explicit asc_nulls_last / NULLS LAST
+    pinning keeps the plans value-identical (review-found)."""
+    import duckdb
+
+    rows = [(i, "s1", None if i == 3 else 100 - i) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, n_chars int")
+    kept = sorted(
+        r.doc_id
+        for r in per_source_cap(df, cap=7, order_by=-F.col("n_chars")).collect()
+    )
+    # the NULL-n_chars doc is the one evicted
+    assert kept == [0, 1, 2, 4, 5, 6, 7]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id INT, source VARCHAR, n_chars INT)")
+    con.executemany("INSERT INTO docs VALUES (?, ?, ?)", rows)
+    oracle = sorted(
+        r[0]
+        for r in con.execute(
+            per_source_cap_sql(table="docs", cap=7, order_sql="n_chars DESC")
+        ).fetchall()
+    )
+    assert kept == oracle
+
+
 def test_cap_rejects_bad_cap(spark):
     df = spark.range(1).select(F.col("id").alias("doc_id"), F.lit("a").alias("source"))
     with pytest.raises(ValueError):

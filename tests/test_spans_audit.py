@@ -36,6 +36,14 @@ HAND_DOCS = [
     _doc("empty-text", [("text", "   ", None, 0)]),
     # degenerate: null spans array
     ("null-spans", None),
+    # NULL offset: must census as a violation (FALSE), not vanish as
+    # NULL — array_sort(offs)==offs alone is NULL here, and DuckDB's
+    # list_distinct strips NULLs, so both engines need the explicit
+    # null-free conjunct to agree (review-found)
+    _doc("null-off", [("text", "a", None, 0), ("text", "b", None, None)]),
+    # NULL kind counts as unknown (bare ~isin() is NULL → F.filter
+    # drops the element and the row would audit clean)
+    _doc("null-kind", [(None, "x", None, 0)]),
 ]
 
 EXPECT = {
@@ -46,6 +54,8 @@ EXPECT = {
     "orphan":     (3, 1, 1, 1, 1, 0, True, False),
     "empty-text": (1, 1, 0, 0, 0, 1, True, False),
     "null-spans": (0, 0, 0, 0, 0, 0, True, True),
+    "null-off":   (2, 2, 0, 0, 0, 0, False, False),
+    "null-kind":  (1, 0, 0, 1, 0, 0, True, False),
 }
 
 
@@ -65,12 +75,15 @@ def test_audit_hand_cases(spark):
 def test_audit_summary(spark):
     df = spark.createDataFrame(HAND_DOCS, DOCUMENTS_SCHEMA)
     row = audit_summary(spans_audit(df)).collect()[0]
-    assert row["n_docs"] == 6
+    assert row["n_docs"] == 8
     assert row["n_ok"] == 2
-    assert row["total_unknown_kind"] == 1
+    assert row["total_unknown_kind"] == 2
     assert row["total_orphan_media"] == 1
     assert row["total_empty_text"] == 1
-    assert row["n_offset_violations"] == 2
+    assert row["n_offset_violations"] == 3
+    # not-ok count is exact: a NULL-offset row must census as a
+    # violation, not vanish as a NULL verdict (the pre-fix behavior)
+    assert row["n_docs"] - row["n_ok"] == 6
 
 
 def test_audit_matches_duckdb_on_planted_corpus(spark, tmp_path):
