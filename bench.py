@@ -155,6 +155,21 @@ def _pii_redact(spark, sf_dir):
     return docs.select("doc_id", redact_pii("text").alias("text"))
 
 
+def _dup_cluster_resolve(spark, sf_dir):
+    # pairs → connected components (alternating star contraction) →
+    # one survivor per duplicate cluster (round 6): the full dedup
+    # endgame over the corpus's n-gram Jaccard pairs. Iterative —
+    # per-round cost is two hash shuffles over the (tiny vs corpus)
+    # edge list; the dominant cost is the pair generation itself.
+    from docling_pdf_spark.operators.components import resolve_duplicates
+    from docling_pdf_spark.queries import q_ngram_jaccard_pairs
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).where(F.col("jaccard") >= 0.5)
+    return resolve_duplicates(docs, pairs)
+
+
 EXTRA_BENCH = {
     "winnow_fingerprints_fast": _winnow_fast,
     "minhash_lsh_fast": _minhash_fast,
@@ -165,6 +180,7 @@ EXTRA_BENCH = {
     "repetition_stats": _repetition_stats,
     "line_shape_stats": _line_shape_stats,
     "pii_redact": _pii_redact,
+    "dup_cluster_resolve": _dup_cluster_resolve,
 }
 
 

@@ -42,6 +42,7 @@ def curate(
     jaccard: float = 0.8,
     num_partitions: int | None = None,
     near_dup: str = "minhash",
+    cluster_resolve: bool = False,
     cosine: float = 0.9,
     decon_eval: str | None = None,
     decon_gram_words: int = 8,
@@ -221,18 +222,49 @@ def curate(
         ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     else:
         raise ValueError(f"unknown near_dup mode: {near_dup}")
-    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    # no broadcast hint: on real crawl data near-dup rates hit 30-50%,
-    # so the drop list is O(duplicate docs) — TB-scale at 100 TB input —
-    # and a forced broadcast OOMs the driver (round-2 ADVICE). AQE picks
-    # broadcast on its own when the built side is measured small.
-    # persist + count at the near-dup boundary (always, since r6): the
-    # count IS the near_dup stage's timing action, and the persisted
-    # set is reused by the decon subtree (both sides) and the final
-    # write instead of re-running the pair DAG (review-found in r4 for
-    # the decon path; unified here for stage observability)
-    curated = cur_cached = exact.join(drop, "doc_id", "left_anti").persist()
-    n_after_near = _stage("near_dup_drop", n_exact, curated.count)
+    # two drop semantics:
+    #   pairwise (default): drop doc_b of every pair — keeps every doc
+    #     that is never the larger of a pair. Two docs that are both
+    #     near-dups of a THIRD (but whose own pair fell under the LSH
+    #     threshold) BOTH survive.
+    #   cluster (--cluster-resolve): connected components over the
+    #     pairs, keep exactly one doc (the min id) per duplicate
+    #     cluster — the published-pipeline semantics (transitive
+    #     closure). A strict superset of the pairwise drop set: any
+    #     doc_b's component min is <= its doc_a < doc_b.
+    # The cluster path runs the iterative star-contraction EAGERLY
+    # (localCheckpoint per round), so it is built inside the timed
+    # stage action to keep the funnel's wall attribution honest.
+    curated = cur_cached = None
+
+    def _near_drop_and_count():
+        nonlocal curated, cur_cached
+        if cluster_resolve:
+            from docling_pdf_spark.operators.components import (
+                connected_components,
+            )
+
+            cc = connected_components(pairs)
+            drop = cc.where(F.col("id") != F.col("component")).select(
+                F.col("id").alias("doc_id")
+            )
+        else:
+            drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        # no broadcast hint: on real crawl data near-dup rates hit
+        # 30-50%, so the drop list is O(duplicate docs) — TB-scale at
+        # 100 TB input — and a forced broadcast OOMs the driver
+        # (round-2 ADVICE). AQE picks broadcast on its own when the
+        # built side is measured small.
+        # persist + count at the near-dup boundary (always, since r6):
+        # the count IS the near_dup stage's timing action, and the
+        # persisted set is reused by the decon subtree (both sides) and
+        # the final write instead of re-running the pair DAG
+        # (review-found in r4 for the decon path; unified here for
+        # stage observability)
+        curated = cur_cached = exact.join(drop, "doc_id", "left_anti").persist()
+        return curated.count()
+
+    n_after_near = _stage("near_dup_drop", n_exact, _near_drop_and_count)
     if decon_eval:
         if decon_gram_words < 2:
             # 0 would make every position the empty gram '' on BOTH
@@ -327,6 +359,11 @@ def main(argv: list[str] | None = None) -> int:
                          "(minhash), shared rolling-hash fingerprints "
                          "for partial-passage reuse (winnow), or "
                          "IVF-bucketed embedding cosine (embedding)")
+    ap.add_argument("--cluster-resolve", action="store_true",
+                    help="resolve near-dup PAIRS into duplicate "
+                         "CLUSTERS (connected components) and keep one "
+                         "doc per cluster, instead of the pairwise "
+                         "drop-the-larger rule")
     ap.add_argument("--decon-eval", default=None,
                     help="parquet of benchmark docs (text column); curated "
                          "docs sharing any word-n-gram with it are dropped")
@@ -381,6 +418,7 @@ def main(argv: list[str] | None = None) -> int:
         jaccard=args.jaccard,
         num_partitions=args.num_partitions,
         near_dup=args.near_dup,
+        cluster_resolve=args.cluster_resolve,
         cosine=args.cosine,
         decon_eval=args.decon_eval,
         decon_gram_words=args.decon_gram_words,

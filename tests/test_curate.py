@@ -219,3 +219,45 @@ def test_curate_decon_catches_passage_across_span_boundary(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="decon_gram_words"):
         curate(spark, src, str(tmp_path / "x"), decon_eval=ev, decon_gram_words=0)
+
+
+def test_curate_cluster_resolve_collapses_hub_cluster(spark, tmp_path):
+    """--cluster-resolve semantics: docs A and B are each near-dups of
+    hub doc C (one-word edits at different positions) but A~B falls
+    below the threshold, so the pair list is exactly {(A,C),(B,C)}
+    (deterministic minhash estimates for these texts: A-B 0.6875,
+    A-C 0.8438, B-C 0.7813 — threshold 0.73 sits strictly between).
+    The pairwise drop-the-larger rule keeps BOTH A and B; cluster
+    resolution (connected components, keep the min id) keeps only A —
+    the transitive-closure semantics published dedup pipelines use."""
+    from jobs.curate import curate
+
+    words = [f"tok{chr(97 + i % 23)}{chr(97 + (i * 7) % 23)}w{i:02d}x" for i in range(40)]
+    hub = " ".join(words)
+    a = hub.replace(words[10], "editedalpha")
+    b = hub.replace(words[30], "editedbeta")
+    rows = [
+        _doc("hub-a", a),
+        _doc("hub-b", b),
+        _doc("hub-c", hub),
+        _doc("other", "an entirely different long document about mountain "
+                      "weather patterns and the seasonal snowfall records "
+                      "measured across forty alpine stations since twenty ten"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_PA), src)
+
+    pairwise = curate(spark, src, str(tmp_path / "pw"), min_chars=80,
+                      jaccard=0.73)
+    cluster = curate(spark, src, str(tmp_path / "cl"), min_chars=80,
+                     jaccard=0.73, cluster_resolve=True)
+
+    # pairwise: only hub-c is ever the larger of a pair → 3 survivors
+    assert pairwise["dropped_near_dups"] == 1
+    kept_pw = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "pw")).collect()}
+    assert kept_pw == {"hub-a", "hub-b", "other"}
+
+    # cluster: {hub-a, hub-b, hub-c} is ONE component → keep min id only
+    assert cluster["dropped_near_dups"] == 2
+    kept_cl = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "cl")).collect()}
+    assert kept_cl == {"hub-a", "other"}
