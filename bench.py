@@ -170,6 +170,18 @@ def _dup_cluster_resolve(spark, sf_dir):
     return resolve_duplicates(docs, pairs)
 
 
+def _strip_boilerplate(spark, sf_dir):
+    # corpus-frequency line dedup (round 6): explode → distinct-doc
+    # count → join back → ordered reassembly; two partial-agg shuffles
+    # plus the AQE-decided join. The synthetic corpus has no repeated
+    # lines, so this times the full identity round-trip (the dominant
+    # explode/reassemble cost is corpus-shaped, not hit-shaped).
+    from docling_pdf_spark.operators.boilerplate import strip_boilerplate_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return strip_boilerplate_lines(docs, min_docs=3)
+
+
 EXTRA_BENCH = {
     "winnow_fingerprints_fast": _winnow_fast,
     "minhash_lsh_fast": _minhash_fast,
@@ -181,6 +193,7 @@ EXTRA_BENCH = {
     "line_shape_stats": _line_shape_stats,
     "pii_redact": _pii_redact,
     "dup_cluster_resolve": _dup_cluster_resolve,
+    "strip_boilerplate": _strip_boilerplate,
 }
 
 
