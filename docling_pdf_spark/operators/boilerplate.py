@@ -106,6 +106,167 @@ def strip_boilerplate_lines(
     )
 
 
+def strip_boilerplate_spans(
+    docs: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    min_line_chars: int = DEFAULT_MIN_LINE_CHARS,
+) -> DataFrame:
+    """Span-aware variant over the EXTRACTED shape (§1.4 encoding):
+    remove corpus-frequent lines from every text span's text, then
+    rebuild the span array so the encoding invariants survive —
+
+    * text spans keep their order but get fresh CUMULATIVE offsets
+      (len + 1 per '\\n' joiner, exactly core/extract.py's assembly);
+    * media spans link to a text block by that block's offset, so each
+      media offset is REMAPPED old→new through the map the fold builds
+      while walking the text spans (which precede media spans in the
+      encoding); an unmatched link degrades to -1, same as extraction;
+    * table/image spans (offset −1) pass through untouched.
+
+    Adds `n_boilerplate_removed`. Docs with no frequent line take a
+    fast path: the original spans column is returned untouched (no
+    per-row fold), so the common case costs one left join. The fold is
+    a single JVM F.aggregate — no Python, no extra shuffle.
+    """
+    span_lines = (
+        docs.select(F.col(id_col), F.explode(spans_col).alias("s"))
+        .where(F.col("s.kind") == "text")
+        .select(
+            F.col(id_col),
+            F.explode(F.split(F.coalesce(F.col("s.text"), F.lit("")), "\n")).alias(
+                "line"
+            ),
+        )
+        .select(F.col(id_col), F.lower(F.trim("line")).alias("line_norm"))
+        .where(F.length("line_norm") >= min_line_chars)
+    )
+    freq = (
+        span_lines.distinct()
+        .groupBy("line_norm")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("line_norm")
+    )
+    # per-doc removal sets are tiny (distinct boilerplate lines the doc
+    # actually contains) — the join result, not the corpus, sizes them
+    doc_bl = (
+        span_lines.join(freq, "line_norm")
+        .groupBy(id_col)
+        .agg(F.collect_set("line_norm").alias("_bl"))
+    )
+    out = docs.join(doc_bl, id_col, "left")
+
+    bl = F.col("_bl")
+
+    def _is_bl(line):
+        norm = F.lower(F.trim(line))
+        return (F.length(norm) >= min_line_chars) & F.array_contains(bl, norm)
+
+    def _clean(text):
+        return F.array_join(
+            F.filter(
+                F.split(F.coalesce(text, F.lit("")), "\n"),
+                lambda l: ~_is_bl(l),
+            ),
+            "\n",
+        )
+
+    span_t = "struct<kind:string,text:string,media_ref:string,offset:int>"
+    acc_t = f"struct<run:int,map:array<struct<o:int,n:int>>,out:array<{span_t}>>"
+
+    def _step(acc, s):
+        cleaned = _clean(s["text"])
+        new_text_span = F.struct(
+            s["kind"].alias("kind"),
+            cleaned.alias("text"),
+            s["media_ref"].alias("media_ref"),
+            acc["run"].alias("offset"),
+        )
+        text_case = F.struct(
+            (acc["run"] + F.length(cleaned) + F.lit(1))
+            .cast("int")
+            .alias("run"),
+            F.concat(
+                acc["map"],
+                F.array(
+                    F.struct(
+                        s["offset"].alias("o"), acc["run"].alias("n")
+                    )
+                ),
+            ).alias("map"),
+            F.concat(acc["out"], F.array(new_text_span)).alias("out"),
+        )
+        remapped = F.filter(acc["map"], lambda m: m["o"] == s["offset"])
+        media_span = F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            F.coalesce(
+                F.element_at(remapped, 1)["n"], F.lit(-1).cast("int")
+            ).alias("offset"),
+        )
+        other_case = F.struct(
+            acc["run"].alias("run"),
+            acc["map"].alias("map"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.when(s["kind"] == "media", media_span).otherwise(s)
+                ),
+            ).alias("out"),
+        )
+        # a text span whose every line was boilerplate is DROPPED, not
+        # kept empty — core/extract.py's assembly never emits empty
+        # text spans (empty pages are skipped) and spans_audit counts
+        # them as violations; its old offset gets no map entry, so a
+        # media span linking to it degrades to -1 exactly like
+        # extraction's out-of-range link resolution
+        return F.when(
+            s["kind"] == "text",
+            F.when(F.length(cleaned) == 0, acc).otherwise(text_case),
+        ).otherwise(other_case)
+
+    zero = F.struct(
+        F.lit(0).cast("int").alias("run"),
+        F.array().cast("array<struct<o:int,n:int>>").alias("map"),
+        F.array().cast(f"array<{span_t}>").alias("out"),
+    ).cast(acc_t)
+    rebuilt = F.aggregate(
+        F.coalesce(F.col(spans_col), F.array().cast(f"array<{span_t}>")),
+        zero,
+        _step,
+        lambda acc: acc["out"],
+    )
+    n_removed = F.aggregate(
+        F.coalesce(F.col(spans_col), F.array().cast(f"array<{span_t}>")),
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(
+            s["kind"] == "text",
+            F.size(
+                F.filter(
+                    F.split(F.coalesce(s["text"], F.lit("")), "\n"), _is_bl
+                )
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    # count FIRST: it reads the original spans column, which the next
+    # withColumn replaces with the rebuilt array
+    return (
+        out.withColumn(
+            "n_boilerplate_removed",
+            F.when(bl.isNull(), F.lit(0)).otherwise(n_removed),
+        )
+        .withColumn(
+            spans_col,
+            F.when(bl.isNull(), F.col(spans_col)).otherwise(rebuilt),
+        )
+        .drop("_bl")
+    )
+
+
 def strip_boilerplate_sql(
     table: str = "documents",
     min_docs: int = 3,

@@ -43,6 +43,7 @@ def curate(
     num_partitions: int | None = None,
     near_dup: str = "minhash",
     cluster_resolve: bool = False,
+    strip_boilerplate: int | None = None,
     cosine: float = 0.9,
     decon_eval: str | None = None,
     decon_gram_words: int = 8,
@@ -171,6 +172,42 @@ def curate(
                 rep = rep.where(F.col(col) <= v)
         quality = quality.join(rep.select("doc_id"), "doc_id", "left_semi")
     n_quality = _stage("quality_gates", n_ok, quality.count)
+
+    # optional corpus-frequency boilerplate strip (CCNet-style): lines
+    # shared by >= N distinct docs are removed from every TEXT SPAN,
+    # offsets rebuilt, media links remapped (operators/boilerplate.py).
+    # Runs BEFORE dedup on purpose: shared footers/banners inflate
+    # every downstream similarity (two unrelated pages sharing a 40-word
+    # cookie banner look near-dup), so dedup must see cleaned text.
+    # full_text and the char/word metrics are recomputed from the
+    # rebuilt spans so the gates' single source of truth stays true.
+    removed_boilerplate = 0
+    bp_cached = None
+    if strip_boilerplate is not None:
+        from docling_pdf_spark.operators.boilerplate import (
+            strip_boilerplate_spans,
+        )
+
+        def _strip_and_count():
+            nonlocal quality, removed_boilerplate, bp_cached
+            stripped = strip_boilerplate_spans(
+                quality, min_docs=strip_boilerplate
+            )
+            quality = bp_cached = (
+                stripped.withColumn("full_text", _join_text_spans("\n"))
+                .withColumn("n_chars", F.length("full_text").cast("long"))
+                .withColumn("n_words", token_count("full_text").cast("long"))
+                .persist()
+            )
+            n = quality.count()
+            removed_boilerplate = (
+                quality.agg(F.sum("n_boilerplate_removed")).collect()[0][0]
+                or 0
+            )
+            quality = quality.drop("n_boilerplate_removed")
+            return n
+
+        _stage("strip_boilerplate", n_quality, _strip_and_count)
 
     # exact dedup: keep the lexicographically-first doc_id per text hash
     # — one shuffle on the hash (a broadcast keeper list would be
@@ -317,6 +354,8 @@ def curate(
          "rows_in": n_after_near, "rows_out": n_curated}
     )
     ok.unpersist()
+    if bp_cached is not None:
+        bp_cached.unpersist()
     if emb_cached is not None:
         emb_cached.unpersist()
     cur_cached.unpersist()
@@ -334,6 +373,11 @@ def curate(
         "dropped_quality": n_ok - n_quality,
         "dropped_exact_dups": n_quality - n_exact,
         "dropped_near_dups": n_exact - n_after_near,
+        **(
+            {"removed_boilerplate_lines": int(removed_boilerplate)}
+            if strip_boilerplate is not None
+            else {}
+        ),
         **(
             {"dropped_contaminated": n_after_near - n_curated}
             if decon_eval
@@ -359,6 +403,13 @@ def main(argv: list[str] | None = None) -> int:
                          "(minhash), shared rolling-hash fingerprints "
                          "for partial-passage reuse (winnow), or "
                          "IVF-bucketed embedding cosine (embedding)")
+    ap.add_argument("--strip-boilerplate", type=int, default=None,
+                    metavar="MIN_DOCS",
+                    help="remove lines appearing in >= MIN_DOCS distinct "
+                         "docs from every text span (CCNet-style corpus "
+                         "line dedup; offsets rebuilt, media links "
+                         "remapped); runs before dedup so shared "
+                         "footers stop inflating similarity")
     ap.add_argument("--cluster-resolve", action="store_true",
                     help="resolve near-dup PAIRS into duplicate "
                          "CLUSTERS (connected components) and keep one "
@@ -419,6 +470,7 @@ def main(argv: list[str] | None = None) -> int:
         num_partitions=args.num_partitions,
         near_dup=args.near_dup,
         cluster_resolve=args.cluster_resolve,
+        strip_boilerplate=args.strip_boilerplate,
         cosine=args.cosine,
         decon_eval=args.decon_eval,
         decon_gram_words=args.decon_gram_words,

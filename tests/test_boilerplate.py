@@ -129,3 +129,85 @@ def test_plan_no_python_no_forced_broadcast(spark):
     import docling_pdf_spark.operators.boilerplate as bp
 
     assert "broadcast" not in inspect.getsource(bp.strip_boilerplate_lines)
+
+
+SPAN_SCHEMA = (
+    "doc_id string, spans array<struct<kind string, text string, "
+    "media_ref string, offset int>>"
+)
+
+
+def _extracted_doc(i, pages, media=None, tables=()):
+    spans, off = [], 0
+    for p in pages:
+        spans.append(("text", p, None, off))
+        off += len(p) + 1
+    for t in tables:
+        spans.append(("table", t, None, -1))
+    for ref, cap, link in media or []:
+        spans.append(("media", cap, ref, link))
+    return (f"d{i}", spans)
+
+
+def test_strip_spans_rebuilds_offsets_and_media_links(spark):
+    from docling_pdf_spark.operators.boilerplate import strip_boilerplate_spans
+
+    p0 = f"{FOOTER}\nreal content page zero"
+    p1 = "second page content"
+    rows = [
+        # media span links to page 1 by its OLD cumulative offset
+        _extracted_doc(0, [p0, p1], media=[("m1", "cap", len(p0) + 1)]),
+        _extracted_doc(1, [f"intro line\n{FOOTER}"], tables=("a|b",)),
+        _extracted_doc(2, [FOOTER]),
+        _extracted_doc(3, ["totally unique doc three"]),
+    ]
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_spans(df, min_docs=3).collect()
+    }
+
+    d0 = out["d0"]
+    assert d0["n_boilerplate_removed"] == 1
+    kinds = [(s["kind"], s["text"], s["offset"]) for s in d0["spans"]]
+    # footer gone from page 0; page 1's offset recomputed: len(page0')+1
+    assert kinds[0] == ("text", "real content page zero", 0)
+    assert kinds[1] == ("text", "second page content", 23)
+    # the media link followed its text block to the NEW offset
+    assert kinds[2] == ("media", "cap", 23)
+
+    d1 = out["d1"]
+    assert d1["n_boilerplate_removed"] == 1
+    assert [s["text"] for s in d1["spans"]] == ["intro line", "a|b"]
+    assert [s["offset"] for s in d1["spans"]] == [0, -1]  # table untouched
+
+    # every line boilerplate → the span is DROPPED (extract.py never
+    # emits empty text spans; spans_audit would flag one)
+    assert list(out["d2"]["spans"]) == []
+    assert out["d2"]["n_boilerplate_removed"] == 1
+
+    # untouched doc: spans pass through the fast path bit-identically
+    assert out["d3"]["n_boilerplate_removed"] == 0
+    assert [tuple(s) for s in out["d3"]["spans"]] == [
+        ("text", "totally unique doc three", None, 0)
+    ]
+
+
+def test_strip_spans_output_stays_audit_clean(spark):
+    """The rebuilt arrays must satisfy the §1.4 encoding invariants —
+    spans_audit (strict offset monotonicity, no orphan media) is the
+    independent checker."""
+    from docling_pdf_spark.operators.boilerplate import strip_boilerplate_spans
+    from docling_pdf_spark.operators.spans_audit import spans_audit
+
+    rows = [
+        _extracted_doc(
+            i,
+            [f"{FOOTER}\nunique page {i} alpha", f"page two {i}", BANNER],
+            media=[("m", "c", 0)],
+        )
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    audited = spans_audit(strip_boilerplate_spans(df, min_docs=3))
+    assert all(r["audit_ok"] for r in audited.collect())

@@ -261,3 +261,49 @@ def test_curate_cluster_resolve_collapses_hub_cluster(spark, tmp_path):
     assert cluster["dropped_near_dups"] == 2
     kept_cl = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "cl")).collect()}
     assert kept_cl == {"hub-a", "other"}
+
+
+def test_curate_strip_boilerplate_stage(spark, tmp_path):
+    """--strip-boilerplate N: a footer line planted in most docs is
+    removed from every text span, the funnel reports the removal
+    count, and the cleaned text drives downstream hashing (two docs
+    differing ONLY in the footer collapse in exact dedup)."""
+    from jobs.curate import curate
+
+    footer = "copyright example corp all rights reserved worldwide"
+    bodies = [
+        "an entirely distinct discussion of alpine meteorology with "
+        "long unique phrasing about seasonal snowfall and wind patterns",
+        "a thorough review of sourdough fermentation chemistry covering "
+        "hydration ratios starter maintenance and crumb development",
+        "notes on renaissance fresco restoration techniques including "
+        "pigment analysis plaster consolidation and varnish removal",
+        "an overview of container orchestration failure modes spanning "
+        "scheduler preemption node pressure and network partitions",
+        "field observations of tidal estuary bird migration counting "
+        "sandpipers godwits and plovers across autumn survey windows",
+    ]
+    rows = [
+        _doc(f"doc-{i}", f"{body}\n{footer}")
+        for i, body in enumerate(bodies)
+    ]
+    # doc-5: same body as doc-0 but WITHOUT the footer — after the
+    # strip both reduce to the same text, so exact dedup collapses them
+    rows.append(_doc("doc-5", bodies[0]))
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_PA), src)
+
+    out = str(tmp_path / "curated")
+    funnel = curate(spark, src, out, min_chars=80, strip_boilerplate=3)
+
+    assert funnel["removed_boilerplate_lines"] == 5
+    assert funnel["dropped_exact_dups"] == 1  # doc-0/doc-5 collapsed
+    assert any(s["stage"] == "strip_boilerplate" for s in funnel["stages"])
+    texts = {
+        r["doc_id"]: "\n".join(
+            s["text"] for s in r["spans"] if s["kind"] == "text"
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    assert all(footer not in t for t in texts.values())
+    assert len(texts) == 5
