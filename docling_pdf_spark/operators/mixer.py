@@ -1,0 +1,353 @@
+"""Token-budget mix planning — the "data mixture" stage every LLM
+training pipeline runs after curation: given a total token budget B
+and relative target weights per stratum (language, source, domain —
+The Pile, SlimPajama and DoReMi all publish such mixture tables),
+decide how many tokens each stratum contributes. Strata that don't
+HAVE enough tokens saturate (contribute everything they have) and
+their unused share is redistributed to the remaining strata in
+proportion to weight — the classic exact water-filling allocation
+(Boyd & Vandenberghe, Convex Optimization §5.5 example).
+
+Two operators:
+
+`token_budget_mix` — the PLAN. One hash aggregate over the corpus
+(per-stratum token capacity), then the water-filling threshold is
+computed EXACTLY on the per-stratum aggregate with window cumulative
+sums: sort strata by capacity/weight ascending; stratum i saturates
+iff  capacity_i * remw_i <= (B - cumcap_i) * weight_i  (inclusive
+cumulative sums; the standard prefix-saturation property of the
+sorted order makes the flag correct row-by-row with no iteration).
+The comparison is evaluated in decimal(38,0) on the Spark side and
+HUGEINT in the DuckDB twin, so it is exact and overflow-safe at
+10^12-document scale (capacity ~ 10^13 tokens x weight ~ 10^6 grain
+overflows int64). Unsaturated allocations are floored with the
+overflow-free integer split  (rem DIV remw) * w + ((rem % remw) * w)
+DIV remw  == floor(rem * w / remw), so Spark and DuckDB agree
+bit-for-bit. The window runs over ONE ROW PER STRATUM (languages /
+sources — thousands at web scale, not billions), so the single
+unpartitioned window is a deliberate, bounded choice, exactly like
+`source_share_stats`.
+
+`fill_to_allocation` — the SELECTION. Keep, per stratum, the prefix
+of documents (in a caller-chosen total order: quality descending,
+id tiebreak) whose running token total stays within the stratum's
+allocation. The naive form is a per-stratum window cumsum — which
+sorts EVERY document of a stratum in one task; with ~100 languages
+over 10^12 docs the 'en' partition is a multi-TB straggler. So the
+cumsum is computed as a distributed prefix sum instead:
+
+  1. range-repartition by (stratum, order, id) — balanced buckets,
+     bucket ids ascend with the total order (range partitions are
+     emitted in key order);
+  2. per-(stratum, bucket) token sums — a tiny aggregate — then a
+     window over BUCKET IDS per stratum gives each bucket its
+     exclusive prefix offset;
+  3. a bounded per-(stratum, bucket) window cumsum plus the
+     broadcast-joined bucket offset reconstructs the exact global
+     running total, independent of where the (sampled,
+     nondeterministic) range boundaries fell.
+
+The result is value-identical to the naive single-window SQL — the
+DuckDB twin runs the naive form, and that equality is the operator's
+correctness contract (same pattern as `per_source_cap`).
+
+Plan note: the bucket-offset branch forks the lineage above the range
+exchange, so the physical plan carries TWO range exchanges over the
+same scan. They produce identical bucket boundaries because Spark's
+RangePartitioner samples with a per-input-partition deterministic
+seed over exactly the same key columns and the same scan partitioning
+— and the offsets branch is column-pruned to (stratum, order keys,
+tokens), so its second pass reads a fraction of the bytes. The
+bucket-count equivalence test (including n_buckets=4096 with mostly
+empty buckets) pins the boundary agreement.
+
+Reference parity note: the reference app (pdf_extractor.py) has no
+mixing stage — this is part of the training-data-pipeline extension
+surface the engine adds on top of the reference's extraction core.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _check_weights(weights: dict[str, int]) -> None:
+    if not weights:
+        raise ValueError("weights must be a non-empty {stratum: int} map")
+    for k, v in weights.items():
+        if not isinstance(v, int) or isinstance(v, bool) or v <= 0:
+            raise ValueError(
+                f"weight for {k!r} must be a positive int grain, got {v!r}"
+            )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    weights: dict[str, int],
+    budget: int,
+    stratum_col: str = "lang",
+    tokens_col: str = "n_chars",
+) -> DataFrame:
+    """Exact water-filling plan: (stratum, weight, capacity_tokens,
+    saturated, allocation_tokens, fill_ratio), one row per entry in
+    `weights`. `weights` are relative positive integers (any grain —
+    ppm, per-mille, raw ratios); `budget` is the total token budget.
+
+    Invariants (pinned in tests): every saturated stratum gets exactly
+    its capacity; unsaturated allocations are floor-proportional to
+    weight; sum(allocation) == min(budget, total capacity) up to the
+    flooring loss (< one token per unsaturated stratum); strata with
+    no documents saturate at 0.
+    """
+    _check_weights(weights)
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    spark = docs.sparkSession
+    # JVM-literal weights relation (explode of a map literal): no
+    # driver-side Python RDD in the plan, no string-escaping concerns
+    items = sorted(weights.items())
+    wdf = spark.range(1).select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k, _ in items]),
+                F.array(*[F.lit(int(v)).cast("long") for _, v in items]),
+            )
+        ).alias("stratum", "weight")
+    )
+    caps = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(F.col(tokens_col)).cast("long").alias("capacity_tokens")
+    )
+    j = wdf.join(caps, "stratum", "left").select(
+        "stratum",
+        "weight",
+        F.coalesce("capacity_tokens", F.lit(0).cast("long")).alias(
+            "capacity_tokens"
+        ),
+    )
+
+    # one row per stratum: the unpartitioned window is bounded by the
+    # number of strata, not documents (see module docstring)
+    ratio_order = [
+        (F.col("capacity_tokens") / F.col("weight")).asc(),
+        F.col("stratum").asc(),
+    ]
+    cum = (
+        Window.orderBy(*ratio_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy()
+    b = F.lit(int(budget)).cast("long")
+    dec28 = "decimal(28,0)"
+    dec10 = "decimal(10,0)"
+    o = j.select(
+        "*",
+        F.sum("capacity_tokens").over(cum).alias("_cumcap"),
+        F.sum("weight").over(cum).alias("_cumw"),
+        F.sum("weight").over(whole).alias("_totw"),
+    ).withColumn(
+        "saturated",
+        (
+            F.col("capacity_tokens").cast(dec28)
+            * (F.col("_totw") - F.col("_cumw")).cast(dec10)
+        )
+        <= ((b - F.col("_cumcap")).cast(dec28) * F.col("weight").cast(dec10)),
+    )
+    t = o.select(
+        "*",
+        F.sum(
+            F.when(F.col("saturated"), F.col("capacity_tokens")).otherwise(0)
+        )
+        .over(whole)
+        .alias("_satcap"),
+        F.sum(F.when(F.col("saturated"), F.col("weight")).otherwise(0))
+        .over(whole)
+        .alias("_satw"),
+    )
+    # floor(rem * weight / remw) without int64 overflow: split quotient
+    floor_alloc = (
+        F.expr("(_b - _satcap) DIV (_totw - _satw)") * F.col("weight")
+        + F.expr("((_b - _satcap) % (_totw - _satw)) * weight DIV (_totw - _satw)")
+    )
+    return (
+        t.withColumn("_b", b)
+        .withColumn(
+            "allocation_tokens",
+            F.when(F.col("saturated"), F.col("capacity_tokens")).otherwise(
+                floor_alloc
+            ),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(
+                F.col("allocation_tokens")
+                / F.nullif(F.col("capacity_tokens"), F.lit(0)),
+                6,
+            ),
+        )
+        .select(
+            "stratum",
+            "weight",
+            "capacity_tokens",
+            "saturated",
+            "allocation_tokens",
+            "fill_ratio",
+        )
+    )
+
+
+def token_budget_mix_sql(
+    weights: dict[str, int],
+    budget: int,
+    table: str = "documents",
+    stratum_col: str = "lang",
+    tokens_col: str = "n_chars",
+) -> str:
+    """DuckDB twin of `token_budget_mix`: same sorted-window
+    water-filling, HUGEINT cross-multiplication for the saturation
+    flag, identical integer-split flooring."""
+    _check_weights(weights)
+    vals = ", ".join(
+        f"('{k}', {int(v)}::BIGINT)" for k, v in sorted(weights.items())
+    )
+    b = int(budget)
+    return f"""
+WITH w(stratum, weight) AS (VALUES {vals}),
+cap AS (
+  SELECT {stratum_col} AS stratum, SUM({tokens_col})::BIGINT AS capacity_tokens
+  FROM {table} GROUP BY {stratum_col}
+),
+j AS (
+  SELECT w.stratum, w.weight, COALESCE(cap.capacity_tokens, 0)::BIGINT AS capacity_tokens
+  FROM w LEFT JOIN cap USING (stratum)
+),
+o AS (
+  SELECT *,
+    SUM(capacity_tokens) OVER win AS _cumcap,
+    SUM(weight) OVER win AS _cumw,
+    SUM(weight) OVER () AS _totw
+  FROM j
+  WINDOW win AS (ORDER BY capacity_tokens * 1.0 / weight ASC, stratum ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT *,
+    (capacity_tokens::HUGEINT * (_totw - _cumw)::HUGEINT
+       <= ({b}::HUGEINT - _cumcap::HUGEINT) * weight::HUGEINT) AS saturated
+  FROM o
+),
+t AS (
+  SELECT *,
+    SUM(CASE WHEN saturated THEN capacity_tokens ELSE 0 END) OVER () AS _satcap,
+    SUM(CASE WHEN saturated THEN weight ELSE 0 END) OVER () AS _satw
+  FROM s
+)
+SELECT stratum, weight, capacity_tokens, saturated,
+  CAST(CASE WHEN saturated THEN capacity_tokens
+       ELSE (({b} - _satcap) // (_totw - _satw)) * weight
+            + ((({b} - _satcap) % (_totw - _satw)) * weight) // (_totw - _satw)
+  END AS BIGINT) AS allocation_tokens,
+  ROUND(
+    (CASE WHEN saturated THEN capacity_tokens
+          ELSE (({b} - _satcap) // (_totw - _satw)) * weight
+               + ((({b} - _satcap) % (_totw - _satw)) * weight) // (_totw - _satw)
+     END) * 1.0 / NULLIF(capacity_tokens, 0), 6) AS fill_ratio
+FROM t
+"""
+
+
+def fill_to_allocation(
+    docs: DataFrame,
+    plan: DataFrame,
+    stratum_col: str = "lang",
+    tokens_col: str = "n_chars",
+    id_col: str = "doc_id",
+    order_by: Column | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Select, per stratum, the greedy prefix of documents (total
+    order: `order_by` ascending NULLS LAST, `id_col` tiebreak) whose
+    running `tokens_col` total stays <= the stratum's
+    `allocation_tokens` from `plan`. Returns the input schema
+    unchanged; strata absent from the plan are dropped.
+
+    Exact distributed prefix sum (see module docstring): range
+    repartition -> per-bucket offsets -> bounded per-bucket window —
+    value-identical to the naive per-stratum window cumsum, with no
+    single-task sort of a mega-stratum.
+    """
+    order = (
+        [order_by.asc_nulls_last(), F.col(id_col).asc()]
+        if order_by is not None
+        else [F.col(id_col).asc()]
+    )
+    nb = n_buckets or docs.sparkSession.sparkContext.defaultParallelism
+    ranged = docs.repartitionByRange(nb, F.col(stratum_col), *order)
+    # spark_partition_id is nondeterministic-tagged, so Catalyst keeps
+    # this projection pinned below the window's exchange — bucket ids
+    # are the RANGE partition ids, ascending with the total order
+    bucketed = ranged.withColumn("_bucket", F.spark_partition_id())
+
+    bucket_sums = bucketed.groupBy(stratum_col, "_bucket").agg(
+        F.sum(tokens_col).alias("_bsum")
+    )
+    woff = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        stratum_col,
+        "_bucket",
+        F.coalesce(F.sum("_bsum").over(woff), F.lit(0)).alias("_offset"),
+    )
+
+    wloc = (
+        Window.partitionBy(stratum_col, "_bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bucketed.withColumn("_cum_local", F.sum(tokens_col).over(wloc))
+
+    plan_small = plan.select(
+        F.col("stratum").alias(stratum_col), "allocation_tokens"
+    )
+    out = (
+        cum.join(F.broadcast(offsets), [stratum_col, "_bucket"])
+        .join(F.broadcast(plan_small), stratum_col)
+        .where(
+            F.col("_offset") + F.col("_cum_local")
+            <= F.col("allocation_tokens")
+        )
+        .drop("_bucket", "_cum_local", "_offset", "allocation_tokens")
+    )
+    return out.select(*docs.columns)
+
+
+def fill_to_allocation_sql(
+    mix_sql: str,
+    table: str = "documents",
+    stratum_col: str = "lang",
+    tokens_col: str = "n_chars",
+    id_col: str = "doc_id",
+    order_sql: str | None = None,
+) -> str:
+    """DuckDB twin: the NAIVE per-stratum window cumsum over `table`,
+    joined to the plan produced by `mix_sql` (pass the string from
+    `token_budget_mix_sql`). The distributed prefix-sum Spark plan
+    must be value-identical to this."""
+    order = (
+        f"{order_sql} NULLS LAST, {id_col}" if order_sql else f"{id_col}"
+    )
+    return f"""
+WITH plan AS ({mix_sql}),
+c AS (
+  SELECT d.*,
+    SUM({tokens_col}) OVER (PARTITION BY {stratum_col} ORDER BY {order}
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+  FROM {table} d
+)
+SELECT c.* EXCLUDE (_cum)
+FROM c JOIN plan ON c.{stratum_col} = plan.stratum
+WHERE c._cum <= plan.allocation_tokens
+"""

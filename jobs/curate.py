@@ -57,6 +57,9 @@ def curate(
     max_ellipsis_line_frac: float | None = None,
     redact_pii: bool = False,
     redact_pii_aggressive: bool = False,
+    mix_budget: int | None = None,
+    mix_weights: dict[str, int] | None = None,
+    mix_stratum: str = "producer",
 ):
     """documents → curated extracted corpus; returns the funnel dict.
 
@@ -332,6 +335,40 @@ def curate(
         )
         curated = curated.join(contaminated, "doc_id", "left_anti")
     curated = curated.drop("full_text")
+    mix_plan_rows = None
+    n_pre_mix = None
+    if (mix_budget is None) != (mix_weights is None):
+        raise ValueError("mix_budget and mix_weights must be set together")
+    if mix_budget is not None:
+        # final stage: token-budget mixture (water-filling over the
+        # stratum column; strata absent from the weight table are
+        # dropped — only the planned mixture enters the corpus). The
+        # fill order is deterministic: longest docs first, id tiebreak.
+        from docling_pdf_spark.operators.mixer import (
+            fill_to_allocation,
+            token_budget_mix,
+        )
+
+        t_m = time.perf_counter()
+        n_pre_mix = curated.count()
+        based = curated.withColumn(
+            "_stratum",
+            F.coalesce(F.col(mix_stratum).cast("string"), F.lit("unknown")),
+        )
+        plan = token_budget_mix(
+            based, mix_weights, mix_budget,
+            stratum_col="_stratum", tokens_col="n_words",
+        )
+        mix_plan_rows = [r.asDict() for r in plan.collect()]
+        curated = fill_to_allocation(
+            based, plan,
+            stratum_col="_stratum", tokens_col="n_words",
+            id_col="doc_id", order_by=-F.col("n_chars"),
+        ).drop("_stratum")
+        stages.append(
+            {"stage": "mix_plan", "wall_s": round(time.perf_counter() - t_m, 3),
+             "rows_in": n_after_near, "rows_out": n_pre_mix}
+        )
     if redact_pii or redact_pii_aggressive:
         # scrub emails/phones/IPv4s from every span text — one JVM
         # transform over the payload column, applied only to the
@@ -351,7 +388,8 @@ def curate(
     stages.append(
         {"stage": "decon_redact_write",
          "wall_s": round(time.perf_counter() - t_w, 3),
-         "rows_in": n_after_near, "rows_out": n_curated}
+         "rows_in": n_pre_mix if n_pre_mix is not None else n_after_near,
+         "rows_out": n_curated}
     )
     ok.unpersist()
     if bp_cached is not None:
@@ -379,8 +417,20 @@ def curate(
             else {}
         ),
         **(
-            {"dropped_contaminated": n_after_near - n_curated}
+            # when the mix stage is also on, the post-decon count is
+            # materialized (n_pre_mix), so decon and mix drops split
+            {"dropped_contaminated": n_after_near - (
+                n_pre_mix if n_pre_mix is not None else n_curated
+            )}
             if decon_eval
+            else {}
+        ),
+        **(
+            {
+                "dropped_mix_budget": n_pre_mix - n_curated,
+                "mix_plan": mix_plan_rows,
+            }
+            if mix_budget is not None
             else {}
         ),
         "stages": stages,
@@ -443,6 +493,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="additionally scrub bare 10/11-digit NANP runs and "
                          "IBANs (documented FP classes: unix timestamps, "
                          "10-digit order ids — see functions/pii.py)")
+    ap.add_argument("--mix-budget", type=int, default=None,
+                    help="total token budget for the final mixture stage "
+                         "(exact water-filling over --mix-stratum; "
+                         "requires --mix-weights)")
+    ap.add_argument("--mix-weights", default=None,
+                    help="comma list stratum=weight (positive int grain), "
+                         "e.g. 'sparkpdf 2.1=500000,unknown=100000'; "
+                         "strata not listed are dropped")
+    ap.add_argument("--mix-stratum", default="producer",
+                    help="column to stratify the mixture on (NULL values "
+                         "map to 'unknown')")
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--local-cores", type=int, default=None)
     ap.add_argument("--gen-docs", type=int, default=None,
@@ -484,6 +545,16 @@ def main(argv: list[str] | None = None) -> int:
         max_ellipsis_line_frac=args.max_ellipsis_line_frac,
         redact_pii=args.redact_pii,
         redact_pii_aggressive=args.redact_pii_aggressive,
+        mix_budget=args.mix_budget,
+        mix_weights=(
+            {
+                k.strip(): int(v)
+                for k, v in (kv.split("=", 1) for kv in args.mix_weights.split(","))
+            }
+            if args.mix_weights
+            else None
+        ),
+        mix_stratum=args.mix_stratum,
     )
     funnel["elapsed_sec"] = round(time.perf_counter() - t0, 3)
     funnel["status"] = "done"

@@ -307,3 +307,63 @@ def test_curate_strip_boilerplate_stage(spark, tmp_path):
     }
     assert all(footer not in t for t in texts.values())
     assert len(texts) == 5
+
+
+def test_curate_mix_budget_stage(spark, tmp_path):
+    """Final token-budget mixture: with one stratum ('unknown' — plain
+    text spans carry no producer) and a budget below the corpus token
+    total, the funnel keeps exactly the longest-first greedy prefix
+    within the allocation and reports the plan + drop count."""
+    from jobs.curate import curate
+
+    rows = [
+        _doc(f"mix-{i}", f"document number {i} " + " ".join(
+            f"unique{i}word{j} filler{j} topic{(i * 7 + j) % 13}"
+            for j in range(20 + 10 * i)))
+        for i in range(6)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_PA), src)
+    out = str(tmp_path / "curated")
+
+    probe = curate(spark, src, str(tmp_path / "probe"),
+                   min_chars=10, min_tokens=5, jaccard=0.99)
+    assert probe["n_curated"] == 6
+    total_words = sum(
+        r["n_words"]
+        for r in spark.read.parquet(str(tmp_path / "probe")).collect()
+    )
+
+    budget = total_words // 2
+    funnel = curate(spark, src, out, min_chars=10, min_tokens=5,
+                    jaccard=0.99, mix_budget=budget,
+                    mix_weights={"unknown": 1_000_000})
+
+    kept = spark.read.parquet(out).collect()
+    assert funnel["dropped_mix_budget"] == 6 - len(kept) > 0
+    assert sum(r["n_words"] for r in kept) <= budget
+    # greedy fill is longest-first: every kept doc has >= words of any
+    # dropped doc OR the dropped doc would overflow the allocation
+    plan = {p["stratum"]: p for p in funnel["mix_plan"]}
+    assert set(plan) == {"unknown"}
+    assert plan["unknown"]["allocation_tokens"] <= budget
+    assert not plan["unknown"]["saturated"]
+    assert any(s["stage"] == "mix_plan" for s in funnel["stages"])
+    # funnel arithmetic still sums
+    assert (funnel["n_input"]
+            == funnel["dropped_extraction_failed"]
+            + funnel["dropped_quality"] + funnel["dropped_exact_dups"]
+            + funnel["dropped_near_dups"] + funnel["dropped_mix_budget"]
+            + funnel["n_curated"])
+
+
+def test_curate_mix_requires_both_flags(spark, tmp_path):
+    from jobs.curate import curate
+
+    rows = [_doc("a", BASE)]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_PA), src)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate(spark, src, str(tmp_path / "o"), mix_budget=100)

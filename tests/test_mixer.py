@@ -1,0 +1,146 @@
+"""Token-budget mix planner (operators/mixer.py): the water-filling
+plan and the distributed prefix-sum selection must be value-identical
+to the naive single-window DuckDB SQL — that equality is the
+operator's correctness contract (same bar as per_source_cap)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from docling_pdf_spark.operators.mixer import (
+    fill_to_allocation,
+    fill_to_allocation_sql,
+    token_budget_mix,
+    token_budget_mix_sql,
+)
+from tests.test_queries_vs_duckdb import SF_DIR, _assert_matches
+
+WEIGHTS = {"en": 500_000, "de": 200_000, "fr": 200_000, "xx": 100_000}
+
+
+def _docs(spark, d=SF_DIR):
+    return spark.read.parquet(f"{d}/documents.parquet")
+
+
+@pytest.mark.parametrize("budget", [50_000, 8_000, 0, 99_000_000])
+def test_plan_matches_duckdb(spark, budget):
+    """All regimes: partial saturation (50k), deep scarcity (8k),
+    zero budget, budget >> capacity (everything saturates)."""
+    _assert_matches(
+        spark,
+        f"token_budget_mix_{budget}",
+        lambda s, d: token_budget_mix(_docs(s, d), WEIGHTS, budget),
+        token_budget_mix_sql(WEIGHTS, budget),
+    )
+
+
+@pytest.mark.parametrize("budget", [50_000, 8_000, 104_585])
+def test_selection_matches_duckdb(spark, budget):
+    msql = token_budget_mix_sql(WEIGHTS, budget)
+    _assert_matches(
+        spark,
+        f"fill_to_allocation_{budget}",
+        lambda s, d: fill_to_allocation(
+            _docs(s, d),
+            token_budget_mix(_docs(s, d), WEIGHTS, budget),
+            order_by=-F.col("n_chars"),
+            n_buckets=7,
+        ),
+        fill_to_allocation_sql(msql, order_sql="n_chars DESC"),
+    )
+
+
+def test_prefix_sum_equals_naive_window(spark):
+    """Spark-side equivalence: the distributed prefix-sum selection
+    equals the direct per-stratum window cumsum for every bucket count
+    probed — including n_buckets=1 (degenerates to one range bucket)
+    and n_buckets far beyond the row count (empty buckets)."""
+    docs = _docs(spark)
+    plan = token_budget_mix(docs, WEIGHTS, 50_000)
+    order = [(-F.col("n_chars")).asc_nulls_last(), F.col("doc_id").asc()]
+    w = Window.partitionBy("lang").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = (
+        docs.withColumn("_cum", F.sum("n_chars").over(w))
+        .join(
+            plan.select(F.col("stratum").alias("lang"), "allocation_tokens"),
+            "lang",
+        )
+        .where(F.col("_cum") <= F.col("allocation_tokens"))
+    )
+    expect = sorted(r.doc_id for r in naive.select("doc_id").collect())
+    for nb in (1, 7, 32, 4096):
+        got = sorted(
+            r.doc_id
+            for r in fill_to_allocation(
+                docs, plan, order_by=-F.col("n_chars"), n_buckets=nb
+            )
+            .select("doc_id")
+            .collect()
+        )
+        assert got == expect, f"n_buckets={nb}: {len(got)} vs {len(expect)}"
+
+
+def test_waterfilling_invariants(spark):
+    """Saturated strata get exactly their capacity; unsaturated
+    allocations are floor-proportional to weight; total allocation is
+    min(budget, capacity) up to < 1 token flooring loss per
+    unsaturated stratum; a stratum with no documents saturates at 0."""
+    docs = _docs(spark)
+    budget = 50_000
+    rows = {
+        r["stratum"]: r
+        for r in token_budget_mix(docs, WEIGHTS, budget).collect()
+    }
+    assert set(rows) == set(WEIGHTS)
+    assert rows["xx"]["capacity_tokens"] == 0
+    assert rows["xx"]["saturated"] and rows["xx"]["allocation_tokens"] == 0
+
+    total_cap = sum(r["capacity_tokens"] for r in rows.values())
+    alloc_sum = sum(r["allocation_tokens"] for r in rows.values())
+    n_unsat = sum(1 for r in rows.values() if not r["saturated"])
+    target = min(budget, total_cap)
+    assert alloc_sum <= target
+    assert alloc_sum > target - max(n_unsat, 1)
+
+    for r in rows.values():
+        assert r["allocation_tokens"] <= r["capacity_tokens"]
+        if r["saturated"]:
+            assert r["allocation_tokens"] == r["capacity_tokens"]
+    # exact redistribution: unsaturated allocations share the residual
+    # budget in weight proportion (floored)
+    satcap = sum(
+        r["capacity_tokens"] for r in rows.values() if r["saturated"]
+    )
+    remw = sum(r["weight"] for r in rows.values() if not r["saturated"])
+    for r in rows.values():
+        if not r["saturated"]:
+            assert (
+                r["allocation_tokens"]
+                == (budget - satcap) * r["weight"] // remw
+            )
+
+
+def test_validation_errors(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        token_budget_mix(docs, {}, 10)
+    with pytest.raises(ValueError):
+        token_budget_mix(docs, {"en": 0}, 10)
+    with pytest.raises(ValueError):
+        token_budget_mix(docs, {"en": -5}, 10)
+    with pytest.raises(ValueError):
+        token_budget_mix(docs, {"en": 1}, -1)
+
+
+def test_selection_drops_unplanned_strata(spark):
+    """Strata absent from the weight table contribute nothing."""
+    docs = _docs(spark)
+    plan = token_budget_mix(docs, {"en": 1}, 10**9)
+    out = fill_to_allocation(docs, plan, order_by=-F.col("n_chars"))
+    langs = {r.lang for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert out.columns == docs.columns

@@ -306,3 +306,50 @@ def test_sequence_packing_window_is_sharded(spark):
     assert plan.count("Exchange (") == 1
     # the fatal shape: Exchange SinglePartition feeding the Window
     assert "SinglePartition" not in plan
+
+
+def test_fill_to_allocation_plan_shape(spark):
+    """The selection stage must NOT sort a whole stratum in one task:
+    the docs path goes range-exchange -> bounded (stratum, bucket)
+    window; bucket offsets and the per-stratum plan arrive by
+    broadcast. The only SinglePartition window allowed is the
+    water-filling one over the per-stratum AGGREGATE (bounded by the
+    number of strata, not documents)."""
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.operators.mixer import (
+        fill_to_allocation,
+        token_budget_mix,
+    )
+    from docling_pdf_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan_df = fill_to_allocation(
+        docs,
+        token_budget_mix(docs, {"en": 5, "de": 2, "fr": 2}, 50_000),
+        order_by=-F.col("n_chars"),
+        n_buckets=8,
+    )
+    p = formatted_plan(plan_df)
+    assert "rangepartitioning(lang" in p, "docs path must range-repartition"
+    assert p.count("BroadcastExchange") >= 2, (
+        "bucket offsets and the stratum plan must broadcast, not shuffle"
+    )
+    # the docs-side cumsum window hash-partitions on (lang, _bucket)
+    assert "hashpartitioning(lang" in p and "_bucket" in p
+    # the only SinglePartition windows sit under the broadcast side
+    # (the per-stratum water-filling aggregate): every window over the
+    # docs relation must carry the bucket key, i.e. any window sorted
+    # on doc_id must be preceded by a (lang, _bucket) hash exchange —
+    # pinned indirectly by requiring that NO window sorts the full
+    # docs relation: a docs-side SinglePartition would print a
+    # 'SinglePartition' exchange feeding a Window whose sort includes
+    # doc_id; the broadcast-side windows sort only stratum columns
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if "SinglePartition" in line:
+            ctx = "\n".join(lines[max(0, i - 12): i + 4])
+            assert "doc_id" not in ctx, (
+                f"SinglePartition exchange on the document path:\n{ctx}"
+            )
+    assert "Python" not in p, "pure-JVM operator"
