@@ -182,6 +182,26 @@ def _strip_boilerplate(spark, sf_dir):
     return strip_boilerplate_lines(docs, min_docs=3)
 
 
+def _token_budget_mix(spark, sf_dir):
+    # water-filling mixture plan + distributed prefix-sum selection
+    # (round 6): budget = 50% of corpus tokens, lang-stratified. The
+    # plan is one hash agg + a strata-bounded window; the selection is
+    # a range shuffle + bounded (lang, bucket) window + two broadcast
+    # joins — no per-stratum single-task sort.
+    from docling_pdf_spark.operators.mixer import (
+        fill_to_allocation,
+        token_budget_mix,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tot = docs.agg(F.sum("n_chars")).first()[0]
+    langs = sorted(r[0] for r in docs.select("lang").distinct().collect())
+    weights = {l: 100_000 + 50_000 * i for i, l in enumerate(langs)}
+    plan = token_budget_mix(docs, weights, int(tot * 0.5))
+    return fill_to_allocation(docs, plan, order_by=-F.col("n_chars"))
+
+
 EXTRA_BENCH = {
     "winnow_fingerprints_fast": _winnow_fast,
     "minhash_lsh_fast": _minhash_fast,
@@ -194,6 +214,7 @@ EXTRA_BENCH = {
     "pii_redact": _pii_redact,
     "dup_cluster_resolve": _dup_cluster_resolve,
     "strip_boilerplate": _strip_boilerplate,
+    "token_budget_mix": _token_budget_mix,
 }
 
 
