@@ -195,8 +195,14 @@ def _token_budget_mix(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    tot = docs.agg(F.sum("n_chars")).first()[0]
-    langs = sorted(r[0] for r in docs.select("lang").distinct().collect())
+    tot = docs.agg(F.sum("n_chars")).first()[0] or 0
+    # NULL langs would break the sort (None vs str) — and NULL strata
+    # are dropped by the mixer's contract anyway (review-found)
+    langs = sorted(
+        r[0]
+        for r in docs.select("lang").distinct().collect()
+        if r[0] is not None
+    )
     weights = {l: 100_000 + 50_000 * i for i, l in enumerate(langs)}
     plan = token_budget_mix(docs, weights, int(tot * 0.5))
     return fill_to_allocation(docs, plan, order_by=-F.col("n_chars"))

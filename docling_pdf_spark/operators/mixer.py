@@ -52,14 +52,17 @@ DuckDB twin runs the naive form, and that equality is the operator's
 correctness contract (same pattern as `per_source_cap`).
 
 Plan note: the bucket-offset branch forks the lineage above the range
-exchange, so the physical plan carries TWO range exchanges over the
-same scan. They produce identical bucket boundaries because Spark's
-RangePartitioner samples with a per-input-partition deterministic
-seed over exactly the same key columns and the same scan partitioning
-— and the offsets branch is column-pruned to (stratum, order keys,
-tokens), so its second pass reads a fraction of the bytes. The
-bucket-count equivalence test (including n_buckets=4096 with mostly
-empty buckets) pins the boundary agreement.
+exchange. By default the bucketed rows are localCheckpointed so both
+branches read ONE materialized bucket assignment — correct for any
+input, including shuffle-rooted lineage whose re-evaluation is
+nondeterministic (shuffle fetch order, AQE coalescing would let two
+independent RangePartitioners sample different boundaries). For
+deterministically re-computable input (a parquet scan), callers can
+pass materialize=False: the two range exchanges then provably sample
+identical boundaries (same per-partition seed, same key columns, same
+scan splits) and the offsets branch is column-pruned to a fraction of
+the bytes. The bucket-count equivalence test (including n_buckets=4096
+with mostly empty buckets) pins the boundary agreement both ways.
 
 Reference parity note: the reference app (pdf_extractor.py) has no
 mixing stage — this is part of the training-data-pipeline extension
@@ -72,6 +75,9 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+MAX_WEIGHT_TOTAL = 10**15  # keeps every decimal product within (38,0)
+
+
 def _check_weights(weights: dict[str, int]) -> None:
     if not weights:
         raise ValueError("weights must be a non-empty {stratum: int} map")
@@ -80,6 +86,16 @@ def _check_weights(weights: dict[str, int]) -> None:
             raise ValueError(
                 f"weight for {k!r} must be a positive int grain, got {v!r}"
             )
+    total = sum(weights.values())
+    if total > MAX_WEIGHT_TOTAL:
+        # bound checked here so the exactness guarantee is unconditional:
+        # capacities fit decimal(19,0) (sum of int64 token counts) and
+        # weight sums fit decimal(16,0), so every cross-multiplication
+        # stays within decimal(38,0) with no rounding and no overflow
+        raise ValueError(
+            f"sum of weights must be <= {MAX_WEIGHT_TOTAL} "
+            f"(got {total}); rescale the grain"
+        )
 
 
 def token_budget_mix(
@@ -92,7 +108,9 @@ def token_budget_mix(
     """Exact water-filling plan: (stratum, weight, capacity_tokens,
     saturated, allocation_tokens, fill_ratio), one row per entry in
     `weights`. `weights` are relative positive integers (any grain —
-    ppm, per-mille, raw ratios); `budget` is the total token budget.
+    ppm, per-mille, raw ratios — sum bounded at 1e15 so the decimal
+    cross-multiplication stays exact); `budget` is the total token
+    budget.
 
     Invariants (pinned in tests): every saturated stratum gets exactly
     its capacity; unsaturated allocations are floor-proportional to
@@ -138,8 +156,11 @@ def token_budget_mix(
     )
     whole = Window.partitionBy()
     b = F.lit(int(budget)).cast("long")
-    dec28 = "decimal(28,0)"
-    dec10 = "decimal(10,0)"
+    # capacity sums are int64 -> fit decimal(19,0); weight sums are
+    # bounded by MAX_WEIGHT_TOTAL (1e15) -> fit decimal(16,0); the
+    # product precision 19+16=35 <= 38, so the comparison is exact
+    dec_cap = "decimal(19,0)"
+    dec_w = "decimal(16,0)"
     o = j.select(
         "*",
         F.sum("capacity_tokens").over(cum).alias("_cumcap"),
@@ -148,10 +169,10 @@ def token_budget_mix(
     ).withColumn(
         "saturated",
         (
-            F.col("capacity_tokens").cast(dec28)
-            * (F.col("_totw") - F.col("_cumw")).cast(dec10)
+            F.col("capacity_tokens").cast(dec_cap)
+            * (F.col("_totw") - F.col("_cumw")).cast(dec_w)
         )
-        <= ((b - F.col("_cumcap")).cast(dec28) * F.col("weight").cast(dec10)),
+        <= ((b - F.col("_cumcap")).cast(dec_cap) * F.col("weight").cast(dec_w)),
     )
     t = o.select(
         "*",
@@ -264,6 +285,7 @@ def fill_to_allocation(
     id_col: str = "doc_id",
     order_by: Column | None = None,
     n_buckets: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Select, per stratum, the greedy prefix of documents (total
     order: `order_by` ascending NULLS LAST, `id_col` tiebreak) whose
@@ -275,6 +297,19 @@ def fill_to_allocation(
     repartition -> per-bucket offsets -> bounded per-bucket window —
     value-identical to the naive per-stratum window cumsum, with no
     single-task sort of a mega-stratum.
+
+    `materialize` (default True) localCheckpoints the bucketed rows so
+    the offsets branch and the cumsum branch read the SAME materialized
+    bucket assignment. This is what makes the operator safe on
+    SHUFFLE-ROOTED input (a join/aggregate upstream): without it the
+    two branches re-evaluate the range exchange independently, and a
+    nondeterministic upstream (shuffle fetch order, AQE partition
+    coalescing) can make the two RangePartitioners sample different
+    boundaries — disagreeing _bucket ids would silently corrupt the
+    prefix sums. Pass materialize=False only for deterministically
+    re-computable input (a parquet scan, or an already-persisted
+    DataFrame), where both evaluations provably sample identical
+    boundaries; that skips the one-pass materialization cost.
     """
     order = (
         [order_by.asc_nulls_last(), F.col(id_col).asc()]
@@ -287,6 +322,10 @@ def fill_to_allocation(
     # this projection pinned below the window's exchange — bucket ids
     # are the RANGE partition ids, ascending with the total order
     bucketed = ranged.withColumn("_bucket", F.spark_partition_id())
+    if materialize:
+        # freeze the bucket assignment once (blocks live on executors;
+        # Spark's ContextCleaner reclaims them when unreferenced)
+        bucketed = bucketed.localCheckpoint(eager=False)
 
     bucket_sums = bucketed.groupBy(stratum_col, "_bucket").agg(
         F.sum(tokens_col).alias("_bsum")

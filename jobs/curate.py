@@ -96,6 +96,17 @@ def curate(
             delim,
         )
 
+    # fail fast on mix-stage argument mistakes BEFORE any Spark action
+    # runs — a bad flag must not cost the whole funnel (review-found)
+    if (mix_budget is None) != (mix_weights is None):
+        raise ValueError("mix_budget and mix_weights must be set together")
+    if mix_budget is not None:
+        from docling_pdf_spark.operators.mixer import _check_weights
+
+        _check_weights(mix_weights)
+        if mix_budget < 0:
+            raise ValueError(f"mix_budget must be >= 0, got {mix_budget}")
+
     # per-stage observability (r5 VERDICT #6): Spark is lazy, so each
     # stage's wall time is attributed to the ACTION that materializes
     # it (the counts the funnel needs anyway). The stages list rides
@@ -337,8 +348,7 @@ def curate(
     curated = curated.drop("full_text")
     mix_plan_rows = None
     n_pre_mix = None
-    if (mix_budget is None) != (mix_weights is None):
-        raise ValueError("mix_budget and mix_weights must be set together")
+    based = None
     if mix_budget is not None:
         # final stage: token-budget mixture (water-filling over the
         # stratum column; strata absent from the weight table are
@@ -349,25 +359,44 @@ def curate(
             token_budget_mix,
         )
 
-        t_m = time.perf_counter()
-        n_pre_mix = curated.count()
+        # persist ONCE: the plan aggregate, the selection's offsets
+        # branch and its cumsum branch all re-read this cache instead
+        # of re-running the funnel lineage (review-found: with decon
+        # enabled the gram-explosion anti-join was executing ~5x)
         based = curated.withColumn(
             "_stratum",
             F.coalesce(F.col(mix_stratum).cast("string"), F.lit("unknown")),
-        )
+        ).persist()
+        t_d = time.perf_counter()
+        n_pre_mix = based.count()
+        if decon_eval:
+            # this count is the action that materializes the decon
+            # anti-join — attribute its wall time and row drop to a
+            # decon stage, not to mix_plan (review-found inversion)
+            stages.append(
+                {"stage": "decon",
+                 "wall_s": round(time.perf_counter() - t_d, 3),
+                 "rows_in": n_after_near, "rows_out": n_pre_mix}
+            )
+        t_m = time.perf_counter()
         plan = token_budget_mix(
             based, mix_weights, mix_budget,
             stratum_col="_stratum", tokens_col="n_words",
         )
         mix_plan_rows = [r.asDict() for r in plan.collect()]
+        # rebuild the (tiny, one-row-per-stratum) plan from the rows
+        # just collected so the two broadcast joins inside
+        # fill_to_allocation don't re-run the plan aggregation
+        plan = spark.createDataFrame(mix_plan_rows, schema=plan.schema)
         curated = fill_to_allocation(
             based, plan,
             stratum_col="_stratum", tokens_col="n_words",
             id_col="doc_id", order_by=-F.col("n_chars"),
         ).drop("_stratum")
         stages.append(
-            {"stage": "mix_plan", "wall_s": round(time.perf_counter() - t_m, 3),
-             "rows_in": n_after_near, "rows_out": n_pre_mix}
+            {"stage": "mix_plan",
+             "wall_s": round(time.perf_counter() - t_m, 3),
+             "rows_in": n_pre_mix, "rows_out": n_pre_mix}
         )
     if redact_pii or redact_pii_aggressive:
         # scrub emails/phones/IPv4s from every span text — one JVM
@@ -379,18 +408,22 @@ def curate(
         curated = curated.withColumn(
             "spans", redact_spans("spans", aggressive=redact_pii_aggressive)
         )
-    # the write stage covers decontamination (when set), PII redaction
-    # (when set) and the parquet IO — everything downstream of the
-    # persisted near-dup boundary
+    # the final stage covers whatever is still unmaterialized: with
+    # mix on, decon was already counted at the mix boundary so this is
+    # the mixture selection + PII redaction + parquet IO; without mix
+    # it is decon (when set) + redaction + IO
     t_w = time.perf_counter()
     curated.write.mode("overwrite").parquet(output_path)
     n_curated = spark.read.parquet(output_path).count()
     stages.append(
-        {"stage": "decon_redact_write",
+        {"stage": ("mix_select_redact_write" if mix_budget is not None
+                   else "decon_redact_write"),
          "wall_s": round(time.perf_counter() - t_w, 3),
          "rows_in": n_pre_mix if n_pre_mix is not None else n_after_near,
          "rows_out": n_curated}
     )
+    if based is not None:
+        based.unpersist()
     ok.unpersist()
     if bp_cached is not None:
         bp_cached.unpersist()
@@ -435,6 +468,35 @@ def curate(
         ),
         "stages": stages,
     }
+
+
+def _parse_mix_weights(s: str) -> dict[str, int]:
+    """argparse type for --mix-weights: 'stratum=int,stratum=int'.
+    Raises ArgumentTypeError (a proper usage error naming the flag)
+    on a missing '=', a non-integer weight, or a repeated stratum —
+    instead of an opaque unpacking traceback / silent last-wins dedupe
+    (review-found)."""
+    out: dict[str, int] = {}
+    for kv in s.split(","):
+        if "=" not in kv:
+            raise argparse.ArgumentTypeError(
+                f"--mix-weights entry {kv!r} must be STRATUM=WEIGHT"
+            )
+        k, v = kv.split("=", 1)
+        k = k.strip()
+        try:
+            w = int(v)
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f"--mix-weights weight for {k!r} must be an integer, "
+                f"got {v!r}"
+            ) from None
+        if k in out:
+            raise argparse.ArgumentTypeError(
+                f"--mix-weights names stratum {k!r} more than once"
+            )
+        out[k] = w
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -497,7 +559,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="total token budget for the final mixture stage "
                          "(exact water-filling over --mix-stratum; "
                          "requires --mix-weights)")
-    ap.add_argument("--mix-weights", default=None,
+    ap.add_argument("--mix-weights", type=_parse_mix_weights, default=None,
                     help="comma list stratum=weight (positive int grain), "
                          "e.g. 'sparkpdf 2.1=500000,unknown=100000'; "
                          "strata not listed are dropped")
@@ -546,14 +608,7 @@ def main(argv: list[str] | None = None) -> int:
         redact_pii=args.redact_pii,
         redact_pii_aggressive=args.redact_pii_aggressive,
         mix_budget=args.mix_budget,
-        mix_weights=(
-            {
-                k.strip(): int(v)
-                for k, v in (kv.split("=", 1) for kv in args.mix_weights.split(","))
-            }
-            if args.mix_weights
-            else None
-        ),
+        mix_weights=args.mix_weights,
         mix_stratum=args.mix_stratum,
     )
     funnel["elapsed_sec"] = round(time.perf_counter() - t0, 3)

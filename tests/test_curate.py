@@ -367,3 +367,84 @@ def test_curate_mix_requires_both_flags(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         curate(spark, src, str(tmp_path / "o"), mix_budget=100)
+
+
+def test_parse_mix_weights_errors():
+    """CLI weight parsing: usage errors, not opaque tracebacks; a
+    repeated stratum is an error, not a silent last-wins dedupe."""
+    import argparse
+
+    import pytest as _pytest
+
+    from jobs.curate import _parse_mix_weights
+
+    assert _parse_mix_weights("en=5,sparkpdf 2.1=7") == {
+        "en": 5, "sparkpdf 2.1": 7
+    }
+    with _pytest.raises(argparse.ArgumentTypeError, match="STRATUM=WEIGHT"):
+        _parse_mix_weights("en:500000")
+    with _pytest.raises(argparse.ArgumentTypeError, match="integer"):
+        _parse_mix_weights("en=abc")
+    with _pytest.raises(argparse.ArgumentTypeError, match="more than once"):
+        _parse_mix_weights("en=5,en=7")
+
+
+def test_curate_fails_fast_on_bad_mix_args(spark, tmp_path):
+    """Review-found: a bad mix flag must raise BEFORE the funnel runs —
+    probe with a nonexistent input path: reaching any Spark action
+    would raise AnalysisException instead of ValueError."""
+    import pytest as _pytest
+
+    from jobs.curate import curate
+
+    missing = str(tmp_path / "nope.parquet")
+    out = str(tmp_path / "o")
+    with _pytest.raises(ValueError, match="set together"):
+        curate(spark, missing, out, mix_budget=100)
+    with _pytest.raises(ValueError, match="positive int"):
+        curate(spark, missing, out, mix_budget=100, mix_weights={"en": 0})
+    with _pytest.raises(ValueError, match="mix_budget"):
+        curate(spark, missing, out, mix_budget=-1, mix_weights={"en": 1})
+
+
+def test_curate_decon_plus_mix_stage_attribution(spark, tmp_path):
+    """Review-found inversion: with decon AND mix enabled, the decon
+    drop must land in a 'decon' stage and the mix-selection drop in
+    the final write stage — not swapped."""
+    from jobs.curate import curate
+
+    rows = [
+        _doc("contaminated", BASE),
+        _doc("keep-long", "an entirely different long document about "
+                          "mountain weather patterns and the seasonal "
+                          "snowfall records measured across forty alpine "
+                          "stations since twenty ten"),
+        _doc("keep-short", "a second distinct document on coastal tide "
+                           "tables compiled from harbor logs spanning "
+                           "ninety years of continuous measurement data"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_PA), src)
+    ev = str(tmp_path / "eval.parquet")
+    pq.write_table(
+        pa.table({"text": ["benchmark question quoting: " + BASE]}), ev
+    )
+    out = str(tmp_path / "curated")
+    probe = curate(spark, src, str(tmp_path / "probe"), min_chars=80,
+                   decon_eval=ev)
+    assert probe["n_curated"] == 2
+    words = sum(
+        r["n_words"]
+        for r in spark.read.parquet(str(tmp_path / "probe")).collect()
+    )
+    budget = words - 1  # forces exactly one doc out of the mixture
+    funnel = curate(spark, src, out, min_chars=80, decon_eval=ev,
+                    mix_budget=budget, mix_weights={"unknown": 100})
+    stages = {s["stage"]: s for s in funnel["stages"]}
+    assert funnel["dropped_contaminated"] == 1
+    assert funnel["dropped_mix_budget"] == 1
+    assert stages["decon"]["rows_in"] - stages["decon"]["rows_out"] == 1
+    assert stages["mix_plan"]["rows_in"] == stages["mix_plan"]["rows_out"]
+    w = stages["mix_select_redact_write"]
+    assert w["rows_in"] - w["rows_out"] == 1
+    assert funnel["n_curated"] == 1

@@ -136,6 +136,86 @@ def test_validation_errors(spark):
         token_budget_mix(docs, {"en": 1}, -1)
 
 
+def test_raw_token_grain_weights_stay_exact(spark):
+    """The review-found overflow scenario: raw token-count grain
+    weights in the billions (the docstring invites 'any grain'). The
+    decimal(19,0)x(16,0) cross-multiplication must neither overflow
+    under ANSI mode nor diverge from the DuckDB HUGEINT twin."""
+    big = {"en": 6_000_000_000, "de": 6_000_000_000, "fr": 1}
+    _assert_matches(
+        spark,
+        "token_budget_mix_biggrain",
+        lambda s, d: token_budget_mix(_docs(s, d), big, 50_000),
+        token_budget_mix_sql(big, 50_000),
+    )
+
+
+def test_weight_total_bound_rejected(spark):
+    """Weight sums past 1e15 would push the decimal product over
+    (38,0) — rejected up front so the exactness guarantee is
+    unconditional."""
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="sum of weights"):
+        token_budget_mix(docs, {"en": 10**15, "de": 1}, 10)
+
+
+def test_selection_on_shuffle_rooted_input(spark):
+    """The materialize=True default freezes the bucket assignment, so
+    the offsets and cumsum branches agree even when the input lineage
+    is rooted in a shuffle (join/aggregate upstream) rather than a
+    deterministic scan. Equality vs the naive per-stratum window
+    cumsum computed on the SAME shuffle-rooted frame."""
+    docs = _docs(spark)
+    # shuffle-rooted: aggregate per lang, join back (two exchanges)
+    lang_sizes = docs.groupBy("lang").agg(F.count("*").alias("_n"))
+    shuffled = docs.join(lang_sizes, "lang").drop("_n")
+    plan = token_budget_mix(shuffled, WEIGHTS, 50_000)
+    order = [(-F.col("n_chars")).asc_nulls_last(), F.col("doc_id").asc()]
+    w = Window.partitionBy("lang").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = (
+        shuffled.withColumn("_cum", F.sum("n_chars").over(w))
+        .join(
+            plan.select(F.col("stratum").alias("lang"), "allocation_tokens"),
+            "lang",
+        )
+        .where(F.col("_cum") <= F.col("allocation_tokens"))
+    )
+    expect = sorted(r.doc_id for r in naive.select("doc_id").collect())
+    got = sorted(
+        r.doc_id
+        for r in fill_to_allocation(
+            shuffled, plan, order_by=-F.col("n_chars"), n_buckets=7
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert got == expect
+
+    # the materialize=False fast path stays valid on deterministic
+    # scan-rooted input (both range exchanges sample identical bounds)
+    scan_plan = token_budget_mix(docs, WEIGHTS, 50_000)
+    a = sorted(
+        r.doc_id
+        for r in fill_to_allocation(
+            docs, scan_plan, order_by=-F.col("n_chars"), n_buckets=7,
+            materialize=False,
+        )
+        .select("doc_id")
+        .collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in fill_to_allocation(
+            docs, scan_plan, order_by=-F.col("n_chars"), n_buckets=7
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+
+
 def test_selection_drops_unplanned_strata(spark):
     """Strata absent from the weight table contribute nothing."""
     docs = _docs(spark)

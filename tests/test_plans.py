@@ -324,11 +324,15 @@ def test_fill_to_allocation_plan_shape(spark):
     from docling_pdf_spark.plans import formatted_plan
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # materialize=False exposes the full lineage (the default
+    # localCheckpoint freezes the range exchange behind an ExistingRDD
+    # scan — its shape is pinned separately below)
     plan_df = fill_to_allocation(
         docs,
         token_budget_mix(docs, {"en": 5, "de": 2, "fr": 2}, 50_000),
         order_by=-F.col("n_chars"),
         n_buckets=8,
+        materialize=False,
     )
     p = formatted_plan(plan_df)
     assert "rangepartitioning(lang" in p, "docs path must range-repartition"
@@ -353,3 +357,24 @@ def test_fill_to_allocation_plan_shape(spark):
                 f"SinglePartition exchange on the document path:\n{ctx}"
             )
     assert "Python" not in p, "pure-JVM operator"
+
+    # default (materialize=True) shape: both docs-side branches read
+    # ONE frozen bucket assignment (a localCheckpoint scan that already
+    # carries _bucket), the cumsum window still hash-partitions on
+    # (lang, _bucket), and offsets + plan still arrive by broadcast
+    pd_ = formatted_plan(fill_to_allocation(
+        docs,
+        token_budget_mix(docs, {"en": 5, "de": 2, "fr": 2}, 50_000),
+        order_by=-F.col("n_chars"),
+        n_buckets=8,
+    ))
+    assert "localCheckpoint" in pd_, "bucket assignment must be frozen"
+    assert "_bucket" in pd_ and "hashpartitioning(lang" in pd_
+    assert pd_.count("BroadcastExchange") >= 2
+    assert "Python" not in pd_
+    for i, line in enumerate(pd_.splitlines()):
+        if "SinglePartition" in line:
+            ctx = "\n".join(pd_.splitlines()[max(0, i - 12): i + 4])
+            assert "doc_id" not in ctx, (
+                f"SinglePartition exchange on the document path:\n{ctx}"
+            )
