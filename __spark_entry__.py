@@ -786,6 +786,39 @@ FROM chunks WHERE chunk_i % 2 = 0
 """
 
 
+_MIX_WEIGHTS = {"en": 500_000, "de": 200_000, "fr": 200_000, "xx": 100_000}
+
+
+def _strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency line boilerplate removal (CCNet-style): lines
+    appearing in >= 3 distinct documents are stripped, text reassembled
+    in original order. Full DuckDB twin — identical normalization,
+    DISTINCT-doc frequency, string_agg ORDER BY reassembly."""
+    from docling_pdf_spark.operators.boilerplate import strip_boilerplate_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return strip_boilerplate_lines(docs, min_docs=3)
+
+
+def _token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture: exact water-filling plan over lang strata
+    + distributed prefix-sum selection (longest-first, doc_id
+    tiebreak). The composed selection is the entry; the DuckDB twin
+    replays plan AND fill as one naive window query."""
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.operators.mixer import (
+        fill_to_allocation,
+        token_budget_mix,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = token_budget_mix(docs, _MIX_WEIGHTS, 50_000)
+    return fill_to_allocation(
+        docs, plan, order_by=-F.col("n_chars"), n_buckets=7
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_pdf_spark.queries import spark_queries
 
@@ -808,9 +841,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of the hash). The hash/training itself stays pytest-gated
     # (LSH recall, IVF recall, subset invariants) and each family is
     # additionally anchored by its portable oracled twin above.
-    q["minhash_lsh_dedup"] = _minhash_lsh
+    # minhash_lsh_dedup (the xxhash64 fast twin) retired round 6 3rd
+    # wave: the family stays scoreboard-proven by minhash_lsh_portable;
+    # the materialized-hash compare is pytest-pinned
+    # (test_retired_minhash_lsh_dedup).
     q["simhash_near_dups"] = _simhash_near_dups
     q["embedding_near_dups_bucketed"] = _embedding_near_dups_bucketed
+    # round-6 3rd-wave promotions: boilerplate strip and the mix
+    # planner take the slots freed by retiring `minhash_lsh_dedup`
+    # (above) and `embedding_near_dups` — the O(n^2)-by-contract exact
+    # all-pairs baseline whose bucketed scale path stays oracled above
+    # and whose plain SQL twin is pytest-pinned
+    # (test_retired_embedding_near_dups).
+    q.pop("embedding_near_dups")
+    q["strip_boilerplate"] = _strip_boilerplate
+    q["token_budget_mix"] = _token_budget_mix
     # round-6 promotions (r5 VERDICT next-round #1): the two round-5
     # curation operators take the slots freed by retiring the redundant
     # `ivf_ann_topk` (exhaustive sibling still registered, approximate
@@ -879,16 +924,27 @@ def oracle_sql() -> dict[str, str]:
     # and each entry writes its artifacts eagerly before returning, so
     # the parquet exists by the time the SQL runs.
     from docling_pdf_spark.operators.dedup import (
-        lsh_materialized_oracle_sql,
         simhash_materialized_oracle_sql,
     )
 
     mat = os.path.dirname(_mat_path(_ORACLE_SF, "x"))
-    o["minhash_lsh_dedup"] = lsh_materialized_oracle_sql(
-        f"{mat}/minhash_melted/*.parquet", threshold=0.3
-    )
+    # minhash_lsh_dedup retired round 6 3rd wave; its materialized
+    # oracle (lsh_materialized_oracle_sql) still gates it in pytest
     o["simhash_near_dups"] = simhash_materialized_oracle_sql(
         f"{mat}/simhash_melted/*.parquet", max_hamming=8
+    )
+    # round-6 3rd-wave promotions (embedding_near_dups retired — its
+    # SQL twin is pytest-pinned; bucketed variant stays oracled)
+    o.pop("embedding_near_dups")
+    from docling_pdf_spark.operators.boilerplate import strip_boilerplate_sql
+    from docling_pdf_spark.operators.mixer import (
+        fill_to_allocation_sql,
+        token_budget_mix_sql,
+    )
+
+    o["strip_boilerplate"] = strip_boilerplate_sql(min_docs=3)
+    o["token_budget_mix"] = fill_to_allocation_sql(
+        token_budget_mix_sql(_MIX_WEIGHTS, 50_000), order_sql="n_chars DESC"
     )
     # ivf_ann_topk retired round 6; its materialized-oracle SQL lives
     # in _ivf_ann_topk_oracle_sql() and still gates the approximate

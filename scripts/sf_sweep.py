@@ -197,7 +197,9 @@ def main(argv: list[str] | None = None) -> int:
         # the one documented exclusion: the exact all-pairs cosine
         # baseline is O(n^2) BY DESIGN (it exists as the correctness
         # anchor for the bucketed variant, which IS swept) — flagging
-        # it superlinear would only restate its contract
+        # it superlinear would only restate its contract. Retired from
+        # the driver registry in round 6 3rd wave, so this is a no-op
+        # on the current registry; kept for sweeps of older registries.
         excluded = {"embedding_near_dups": "O(n^2) brute-force baseline by design"}
         BENCH_QUERIES = [n for n in q_all if n not in excluded]
     from docling_pdf_spark.queries import spark_queries

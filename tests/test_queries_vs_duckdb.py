@@ -152,6 +152,44 @@ def test_retired_top_orders(spark):
     _assert_matches(spark, "top_orders", fn, sql)
 
 
+def test_retired_minhash_lsh_dedup(spark):
+    """Pin for the xxhash64 fast MinHash-LSH entry RETIRED in round 6
+    3rd wave (slot freed for strip_boilerplate): the entry still writes
+    its banded-signature artifacts and the materialized SQL replays cap
+    + bucket join + pair dedupe + Jaccard threshold — the identical
+    compare the driver ran in rounds 4-6. The family stays ON the
+    scoreboard via minhash_lsh_portable."""
+    import os
+
+    import __spark_entry__ as se
+    from docling_pdf_spark.operators.dedup import lsh_materialized_oracle_sql
+
+    mat = os.path.dirname(se._mat_path(se._ORACLE_SF, "x"))
+    _assert_matches(
+        spark, "minhash_lsh_dedup", se._minhash_lsh,
+        lsh_materialized_oracle_sql(
+            f"{mat}/minhash_melted/*.parquet", threshold=0.3
+        ),
+    )
+
+
+def test_retired_embedding_near_dups(spark):
+    """Pin for the exact all-pairs cosine baseline RETIRED in round 6
+    3rd wave (slot freed for token_budget_mix): O(n^2) by contract, so
+    it was excluded from the scale sweep anyway; the bucketed scale
+    path stays driver-oracled and exhaustive==exact stays pinned in
+    test_operators."""
+    from docling_pdf_spark.queries import (
+        SQL_EMBEDDING_NEAR_DUPS,
+        q_embedding_near_dups,
+    )
+
+    _assert_matches(
+        spark, "embedding_near_dups", q_embedding_near_dups,
+        SQL_EMBEDDING_NEAR_DUPS,
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as se
 
