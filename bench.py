@@ -208,6 +208,16 @@ def _token_budget_mix(spark, sf_dir):
     return fill_to_allocation(docs, plan, order_by=-F.col("n_chars"))
 
 
+def _corpus_shuffle(spark, sf_dir):
+    # seeded training-order shuffle (round 6): dense global ranks via
+    # range repartition + per-bucket offsets + bounded window — the
+    # one-window naive form would single-task-sort the corpus
+    from docling_pdf_spark.operators.shuffle import deterministic_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return deterministic_shuffle(docs, 42)
+
+
 EXTRA_BENCH = {
     "winnow_fingerprints_fast": _winnow_fast,
     "minhash_lsh_fast": _minhash_fast,
@@ -221,6 +231,7 @@ EXTRA_BENCH = {
     "dup_cluster_resolve": _dup_cluster_resolve,
     "strip_boilerplate": _strip_boilerplate,
     "token_budget_mix": _token_budget_mix,
+    "corpus_shuffle": _corpus_shuffle,
 }
 
 

@@ -1,0 +1,145 @@
+"""Deterministic corpus shuffle — seeded training-order
+randomization with EXACT global row numbers, no single-task sort.
+
+A training run wants the curated corpus in a pseudo-random but
+REPRODUCIBLE order (so a restarted job, a different cluster size, or
+a re-run months later reads the same sequence), and wants a dense
+global rank (1..n) so readers can slice epochs/shards by rank range.
+The naive form is one window — `row_number() OVER (ORDER BY
+md5(seed || doc_id))` — which Spark executes as a SinglePartition
+sort of the whole corpus: one task owns 100 TB. This operator
+computes the identical ranks with the distributed prefix-sum pattern
+proven by `operators/mixer.py::fill_to_allocation`:
+
+  range-repartition on the shuffle key
+    -> per-bucket row counts (tiny: one row per bucket)
+    -> cumulative bucket offsets (bounded window over <= n_buckets
+       rows — the only SinglePartition in the plan)
+    -> within-bucket row_number (bounded per-bucket window)
+    -> rank = offset + local row_number, offsets arrive by broadcast.
+
+The shuffle key is engine-portable — `md5(seed ':' id)` — so the
+DuckDB twin (`deterministic_shuffle_sql`, the naive one-window form)
+is the operator's exact correctness contract: same key bytes, same
+total order, same ranks.
+
+Like the mixer, the bucket-offset branch forks the lineage above the
+range exchange, so by default the bucketed rows are localCheckpointed
+and both branches read ONE materialized bucket assignment — safe on
+shuffle-rooted input whose re-evaluation is nondeterministic. Pass
+materialize=False for deterministically re-computable input (a
+parquet scan) to skip the materialization pass.
+
+Output ROW order is not the product — the rank COLUMN is. A writer
+that wants the files physically in shuffled order should
+`.repartitionByRange(n, out_col).sortWithinPartitions(out_col)`
+before writing (jobs/curate.py --shuffle-seed does exactly that);
+the part files then carry the order when read in NAME order (note
+spark.read schedules splits by size — a Spark reader re-sorts by the
+rank column, which is a cheap already-range-partitioned sort).
+
+Reference parity note: the reference app (pdf_extractor.py) has no
+ordering stage — this is part of the training-data-pipeline
+extension mandated by the build spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order: list[Column],
+    out_col: str = "rank",
+    n_buckets: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Dense 1-based global row numbers under `order` (which must be a
+    deterministic TOTAL order — include a unique tiebreak column),
+    value-identical to `row_number() OVER (ORDER BY order)` but with
+    no corpus-wide single-task sort."""
+    nb = n_buckets or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(nb, *order)
+    # spark_partition_id is nondeterministic-tagged, so Catalyst keeps
+    # this projection pinned below the window's exchange — bucket ids
+    # are the RANGE partition ids, ascending with the total order
+    bucketed = ranged.withColumn("_bucket", F.spark_partition_id())
+    if materialize:
+        # freeze the bucket assignment once so the counts branch and
+        # the row_number branch agree on shuffle-rooted input
+        bucketed = bucketed.localCheckpoint(eager=False)
+
+    counts = bucketed.groupBy("_bucket").agg(F.count("*").alias("_bcnt"))
+    # bounded: <= n_buckets rows pass through this SinglePartition
+    woff = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_bucket",
+        F.coalesce(F.sum("_bcnt").over(woff), F.lit(0)).alias("_offset"),
+    )
+    wloc = Window.partitionBy("_bucket").orderBy(*order)
+    return (
+        bucketed.withColumn("_rn", F.row_number().over(wloc))
+        .join(F.broadcast(offsets), "_bucket")
+        .withColumn(out_col, (F.col("_offset") + F.col("_rn")).cast("long"))
+        .drop("_bucket", "_rn", "_offset")
+    )
+
+
+def shuffle_key(seed: int, id_col: str = "doc_id") -> Column:
+    """Engine-portable pseudo-random sort key: md5 of `seed ':' id`.
+    `id_col` must be non-null (it is the primary key); the id itself
+    tiebreaks the astronomically-unlikely digest collision."""
+    return F.md5(
+        F.concat_ws(
+            ":", F.lit(str(int(seed))), F.col(id_col).cast("string")
+        )
+    )
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    seed: int,
+    id_col: str = "doc_id",
+    out_col: str = "shuffle_rank",
+    n_buckets: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Input schema + `out_col`: a dense 1-based rank assigning every
+    document a position in the seeded pseudo-random total order
+    (md5(seed ':' id) ascending, id tiebreak). Same seed -> same ranks
+    on any cluster size; different seed -> a different permutation."""
+    keyed = docs.withColumn("_skey", shuffle_key(seed, id_col))
+    ranked = global_row_number(
+        keyed,
+        [F.col("_skey").asc(), F.col(id_col).asc()],
+        out_col=out_col,
+        n_buckets=n_buckets,
+        materialize=materialize,
+    )
+    return ranked.drop("_skey")
+
+
+def deterministic_shuffle_sql(
+    seed: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    out_col: str = "shuffle_rank",
+) -> str:
+    """DuckDB twin: the NAIVE one-window form over the identical
+    portable key. The distributed prefix-sum Spark plan must be
+    value-identical to this."""
+    k = (
+        f"md5(CAST({int(seed)} AS VARCHAR) || ':' "
+        f"|| CAST({id_col} AS VARCHAR))"
+    )
+    return f"""
+SELECT {id_col},
+       CAST(row_number() OVER (ORDER BY {k}, {id_col}) AS BIGINT)
+         AS {out_col}
+FROM {table}
+"""

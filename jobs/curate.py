@@ -60,6 +60,7 @@ def curate(
     mix_budget: int | None = None,
     mix_weights: dict[str, int] | None = None,
     mix_stratum: str = "producer",
+    shuffle_seed: int | None = None,
 ):
     """documents → curated extracted corpus; returns the funnel dict.
 
@@ -408,6 +409,21 @@ def curate(
         curated = curated.withColumn(
             "spans", redact_spans("spans", aggressive=redact_pii_aggressive)
         )
+    if shuffle_seed is not None:
+        # seeded training-order shuffle: every surviving doc gets a
+        # dense 1-based shuffle_rank (portable md5 key, distributed
+        # prefix-sum — no corpus-wide single-task sort), and the
+        # output files are physically range-ordered by rank: reading
+        # the part files in NAME order yields the shuffled order
+        # (spark.read orders splits by size — re-sort by rank there)
+        from docling_pdf_spark.operators.shuffle import deterministic_shuffle
+
+        nparts = num_partitions or spark.sparkContext.defaultParallelism
+        curated = (
+            deterministic_shuffle(curated, shuffle_seed)
+            .repartitionByRange(nparts, "shuffle_rank")
+            .sortWithinPartitions("shuffle_rank")
+        )
     # the final stage covers whatever is still unmaterialized: with
     # mix on, decon was already counted at the mix boundary so this is
     # the mixture selection + PII redaction + parquet IO; without mix
@@ -566,6 +582,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mix-stratum", default="producer",
                     help="column to stratify the mixture on (NULL values "
                          "map to 'unknown')")
+    ap.add_argument("--shuffle-seed", type=int, default=None,
+                    help="seeded training-order shuffle: adds a dense "
+                         "shuffle_rank column and writes the output "
+                         "physically ordered by it (same seed -> same "
+                         "order on any cluster size)")
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--local-cores", type=int, default=None)
     ap.add_argument("--gen-docs", type=int, default=None,
@@ -610,6 +631,7 @@ def main(argv: list[str] | None = None) -> int:
         mix_budget=args.mix_budget,
         mix_weights=args.mix_weights,
         mix_stratum=args.mix_stratum,
+        shuffle_seed=args.shuffle_seed,
     )
     funnel["elapsed_sec"] = round(time.perf_counter() - t0, 3)
     funnel["status"] = "done"

@@ -378,3 +378,44 @@ def test_fill_to_allocation_plan_shape(spark):
             assert "doc_id" not in ctx, (
                 f"SinglePartition exchange on the document path:\n{ctx}"
             )
+
+
+def test_deterministic_shuffle_plan_shape(spark):
+    """The rank stage must NOT sort the whole corpus in one task: docs
+    go range-exchange -> bounded per-bucket window; the cumulative
+    bucket offsets arrive by broadcast. The only SinglePartition window
+    runs over the per-bucket COUNTS (<= n_buckets rows)."""
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.operators.shuffle import deterministic_shuffle
+    from docling_pdf_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # materialize=False exposes the full lineage
+    p = formatted_plan(
+        deterministic_shuffle(docs, 42, n_buckets=8, materialize=False)
+    )
+    assert "rangepartitioning(_skey" in p, "docs must range-repartition"
+    assert "BroadcastExchange" in p, "offsets must broadcast, not shuffle"
+    assert "hashpartitioning(_bucket" in p, "bounded per-bucket window"
+    for i, line in enumerate(p.splitlines()):
+        if "SinglePartition" in line:
+            ctx = "\n".join(p.splitlines()[max(0, i - 12): i + 4])
+            assert "doc_id" not in ctx and "text" not in ctx, (
+                f"SinglePartition on the document path:\n{ctx}"
+            )
+    assert "Python" not in p, "pure-JVM operator"
+
+    # default (materialize=True): ONE frozen bucket assignment feeds
+    # both branches; same boundedness guarantees
+    pd_ = formatted_plan(deterministic_shuffle(docs, 42, n_buckets=8))
+    assert "localCheckpoint" in pd_
+    assert "hashpartitioning(_bucket" in pd_
+    assert "BroadcastExchange" in pd_
+    assert "Python" not in pd_
+    for i, line in enumerate(pd_.splitlines()):
+        if "SinglePartition" in line:
+            ctx = "\n".join(pd_.splitlines()[max(0, i - 12): i + 4])
+            assert "doc_id" not in ctx and "text" not in ctx, (
+                f"SinglePartition on the document path:\n{ctx}"
+            )
