@@ -311,34 +311,21 @@ def fill_to_allocation(
     DataFrame), where both evaluations provably sample identical
     boundaries; that skips the one-pass materialization cost.
     """
+    from docling_pdf_spark.operators.prefixsum import (
+        bucket_offsets,
+        bucketize_by_range,
+    )
+
     order = (
         [order_by.asc_nulls_last(), F.col(id_col).asc()]
         if order_by is not None
         else [F.col(id_col).asc()]
     )
-    nb = n_buckets or docs.sparkSession.sparkContext.defaultParallelism
-    ranged = docs.repartitionByRange(nb, F.col(stratum_col), *order)
-    # spark_partition_id is nondeterministic-tagged, so Catalyst keeps
-    # this projection pinned below the window's exchange — bucket ids
-    # are the RANGE partition ids, ascending with the total order
-    bucketed = ranged.withColumn("_bucket", F.spark_partition_id())
-    if materialize:
-        # freeze the bucket assignment once (blocks live on executors;
-        # Spark's ContextCleaner reclaims them when unreferenced)
-        bucketed = bucketed.localCheckpoint(eager=False)
-
-    bucket_sums = bucketed.groupBy(stratum_col, "_bucket").agg(
-        F.sum(tokens_col).alias("_bsum")
+    bucketed = bucketize_by_range(
+        docs, [F.col(stratum_col), *order], n_buckets, materialize
     )
-    woff = (
-        Window.partitionBy(stratum_col)
-        .orderBy("_bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = bucket_sums.select(
-        stratum_col,
-        "_bucket",
-        F.coalesce(F.sum("_bsum").over(woff), F.lit(0)).alias("_offset"),
+    offsets = bucket_offsets(
+        bucketed, F.sum(tokens_col), partition_cols=[stratum_col]
     )
 
     wloc = (

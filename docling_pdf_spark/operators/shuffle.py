@@ -23,12 +23,13 @@ DuckDB twin (`deterministic_shuffle_sql`, the naive one-window form)
 is the operator's exact correctness contract: same key bytes, same
 total order, same ranks.
 
-Like the mixer, the bucket-offset branch forks the lineage above the
-range exchange, so by default the bucketed rows are localCheckpointed
-and both branches read ONE materialized bucket assignment — safe on
-shuffle-rooted input whose re-evaluation is nondeterministic. Pass
-materialize=False for deterministically re-computable input (a
-parquet scan) to skip the materialization pass.
+The bucket/offset scaffolding (and the correctness-critical
+materialize invariant that freezes the bucket assignment against
+shuffle-rooted-input divergence) is SHARED with the mixer — one
+kernel, `operators/prefixsum.py`; see its module docstring for the
+full contract. Pass materialize=False for deterministically
+re-computable input (a parquet scan) to skip the materialization
+pass.
 
 Output ROW order is not the product — the rank COLUMN is. A writer
 that wants the files physically in shuffled order should
@@ -60,27 +61,15 @@ def global_row_number(
     deterministic TOTAL order — include a unique tiebreak column),
     value-identical to `row_number() OVER (ORDER BY order)` but with
     no corpus-wide single-task sort."""
-    nb = n_buckets or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(nb, *order)
-    # spark_partition_id is nondeterministic-tagged, so Catalyst keeps
-    # this projection pinned below the window's exchange — bucket ids
-    # are the RANGE partition ids, ascending with the total order
-    bucketed = ranged.withColumn("_bucket", F.spark_partition_id())
-    if materialize:
-        # freeze the bucket assignment once so the counts branch and
-        # the row_number branch agree on shuffle-rooted input
-        bucketed = bucketed.localCheckpoint(eager=False)
+    from docling_pdf_spark.operators.prefixsum import (
+        bucket_offsets,
+        bucketize_by_range,
+    )
 
-    counts = bucketed.groupBy("_bucket").agg(F.count("*").alias("_bcnt"))
-    # bounded: <= n_buckets rows pass through this SinglePartition
-    woff = (
-        Window.orderBy("_bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "_bucket",
-        F.coalesce(F.sum("_bcnt").over(woff), F.lit(0)).alias("_offset"),
-    )
+    bucketed = bucketize_by_range(df, order, n_buckets, materialize)
+    # row counts are cumsums of 1; the offsets window is SinglePartition
+    # but bounded by the bucket count (see prefixsum module docstring)
+    offsets = bucket_offsets(bucketed, F.count("*"))
     wloc = Window.partitionBy("_bucket").orderBy(*order)
     return (
         bucketed.withColumn("_rn", F.row_number().over(wloc))
@@ -92,12 +81,22 @@ def global_row_number(
 
 def shuffle_key(seed: int, id_col: str = "doc_id") -> Column:
     """Engine-portable pseudo-random sort key: md5 of `seed ':' id`.
-    `id_col` must be non-null (it is the primary key); the id itself
-    tiebreaks the astronomically-unlikely digest collision."""
-    return F.md5(
-        F.concat_ws(
-            ":", F.lit(str(int(seed))), F.col(id_col).cast("string")
-        )
+    `id_col` must be non-null (it is the primary key) — enforced with
+    assert_true so a violation fails LOUDLY instead of silently
+    degrading (concat_ws would skip the NULL, giving the row a valid
+    but twin-divergent rank, and two NULL ids would collide with a
+    NULL tiebreak — nondeterministic order, review-found). The id
+    itself tiebreaks the astronomically-unlikely digest collision."""
+    sid = F.col(id_col).cast("string")
+    guard = F.assert_true(
+        sid.isNotNull(),
+        F.lit(f"deterministic_shuffle: {id_col} must be non-null"),
+    )
+    # assert_true returns NULL when it passes, so the when() always
+    # takes the md5 branch — it exists only to thread the guard in
+    return F.when(
+        guard.isNull(),
+        F.md5(F.concat_ws(":", F.lit(str(int(seed))), sid)),
     )
 
 

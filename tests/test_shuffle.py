@@ -123,3 +123,17 @@ def test_global_row_number_generic_order(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_null_id_fails_loudly(spark):
+    """Review-found: a NULL id must raise, not silently take a
+    twin-divergent rank (concat_ws would skip the NULL) or collide
+    with another NULL id on a nondeterministic tiebreak."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id bigint, text string"
+    )
+    with pytest.raises(SparkRuntimeException, match="must be non-null"):
+        deterministic_shuffle(docs, 1).collect()
