@@ -221,6 +221,19 @@ def _corpus_shuffle(spark, sf_dir):
     return deterministic_shuffle(docs, 42, materialize=False)
 
 
+def _dsir_weights(spark, sf_dir):
+    # DSIR importance weights (round 6): two hashed-bigram distribution
+    # passes + one broadcast-join scoring shuffle, all JVM. Target =
+    # the deterministic doc_id % 17 slice (synthetic-target convention)
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.operators.dsir import dsir_log_ratios, dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("doc_id") % 17 == 0)
+    return dsir_weights(docs, dsir_log_ratios(docs, target))
+
+
 EXTRA_BENCH = {
     "winnow_fingerprints_fast": _winnow_fast,
     "minhash_lsh_fast": _minhash_fast,
@@ -235,6 +248,7 @@ EXTRA_BENCH = {
     "strip_boilerplate": _strip_boilerplate,
     "token_budget_mix": _token_budget_mix,
     "corpus_shuffle": _corpus_shuffle,
+    "dsir_weights": _dsir_weights,
 }
 
 

@@ -419,3 +419,27 @@ def test_deterministic_shuffle_plan_shape(spark):
             assert "doc_id" not in ctx and "text" not in ctx, (
                 f"SinglePartition on the document path:\n{ctx}"
             )
+
+
+def test_dsir_plan_shape(spark):
+    """DSIR scoring: the corpus-sized side moves through exactly one
+    aggregation shuffle (map-side combined); the ratio table joins by
+    BROADCAST; the only unpartitioned windows run over the bounded
+    (<= n_buckets) bucket table; no Python stage anywhere."""
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.operators.dsir import dsir_log_ratios, dsir_weights
+    from docling_pdf_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    target = docs.where(F.col("doc_id") % 17 == 0)
+    p = formatted_plan(dsir_weights(docs, dsir_log_ratios(docs, target)))
+    assert "BroadcastExchange" in p, "ratio table must broadcast"
+    assert "Python" not in p, "pure-JVM operator"
+    assert p.count("HashAggregate") >= 2, "map-side combine on the counts"
+    for i, line in enumerate(p.splitlines()):
+        if "SinglePartition" in line:
+            ctx = "\n".join(p.splitlines()[max(0, i - 12): i + 4])
+            assert "text" not in ctx and "grams" not in ctx, (
+                f"SinglePartition on the corpus path:\n{ctx}"
+            )
