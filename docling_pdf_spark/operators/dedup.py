@@ -65,23 +65,30 @@ def _gram_arrays(
 ) -> DataFrame:
     """(id, grams array<string>) — THE one word-n-gram kernel every
     shingling consumer derives from (hash-distinct and string-distinct
-    variants below, and the decontamination gram pass, must never
-    drift apart).
+    variants below, and the decontamination/DSIR gram passes, must
+    never drift apart).
 
-    The token array is projected as its own column before the gram
-    transform: inlining the split into the lambda makes codegen
-    re-evaluate it per element_at (n × shingles/doc — measured 12×
-    slower at sf0.1)."""
-    tokd = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
-    toks = F.col("toks")
-    starts = F.when(
-        F.size(toks) >= n,
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + k) for k in range(n)]
+    Built with slice + arrays_zip, NOT element_at(toks, i+k) lambdas:
+    each slice references the token array exactly once per row, so
+    even when CollapseProject inlines the split (and whatever computed
+    expression produced the text — a span join, a regex normalize)
+    into this projection, the inlined expression evaluates O(n) times
+    per DOCUMENT. The element_at form re-evaluated it per element —
+    O(tokens) evaluations of an O(doc_len) expression, a quadratic
+    execution trap measured at 100× (40.9 s → 0.4 s for a 400-doc
+    corpus with one 12.6k-token doc) when the input text was computed
+    rather than scanned. Same lesson class as the d1024 embedder fix:
+    a plan test pins shuffle structure, not expression-evaluation
+    cost."""
+    toks = F.split(F.col(text_col), " ")
+    sz = F.size(toks)
+    cnt = F.greatest(sz - (n - 1), F.lit(0))
+    parts = [F.slice(toks, k + 1, cnt).alias(f"t{k}") for k in range(n)]
+    gram = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[f"t{k}"] for k in range(n)]),
     )
-    return tokd.select(F.col(id_col), F.transform(starts, gram).alias("grams"))
+    return docs.select(F.col(id_col), gram.alias("grams"))
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -61,6 +61,9 @@ def curate(
     mix_weights: dict[str, int] | None = None,
     mix_stratum: str = "producer",
     shuffle_seed: int | None = None,
+    dsir_target: str | None = None,
+    dsir_keep_frac: float = 0.5,
+    dsir_hash: str = "fast",
 ):
     """documents → curated extracted corpus; returns the funnel dict.
 
@@ -107,6 +110,15 @@ def curate(
         _check_weights(mix_weights)
         if mix_budget < 0:
             raise ValueError(f"mix_budget must be >= 0, got {mix_budget}")
+    if dsir_target is not None:
+        if not (0.0 < dsir_keep_frac <= 1.0):
+            raise ValueError(
+                f"dsir_keep_frac must be in (0, 1], got {dsir_keep_frac}"
+            )
+        if dsir_hash not in ("portable", "fast"):
+            raise ValueError(
+                f"dsir_hash must be portable|fast, got {dsir_hash!r}"
+            )
 
     # per-stage observability (r5 VERDICT #6): Spark is lazy, so each
     # stage's wall time is attributed to the ACTION that materializes
@@ -346,6 +358,58 @@ def curate(
             tr_grams.join(F.broadcast(ev_grams), "g").select("doc_id").distinct()
         )
         curated = curated.join(contaminated, "doc_id", "left_anti")
+    n_pre_dsir = None
+    n_after_dsir = None
+    decon_attributed = False
+    dsir_cached = None
+    if dsir_target is not None:
+        # DSIR data selection (Xie et al. 2023): score every surviving
+        # doc by the hashed-bigram target/raw log-likelihood ratio and
+        # keep the top dsir_keep_frac by weight — exact top-k via the
+        # distributed rank kernel, never a single-task sort
+        from docling_pdf_spark.operators.dsir import (
+            dsir_log_ratios,
+            dsir_weights,
+        )
+        from docling_pdf_spark.operators.shuffle import global_row_number
+
+        ws_norm = lambda c: F.regexp_replace(F.trim(c), r"\s+", " ")  # noqa: E731
+        dsir_cached = curated.persist()
+        t_d0 = time.perf_counter()
+        n_pre_dsir = dsir_cached.count()
+        if decon_eval:
+            # this count materialized the decon anti-join — attribute
+            # its wall and row drop to decon, not to dsir
+            stages.append(
+                {"stage": "decon",
+                 "wall_s": round(time.perf_counter() - t_d0, 3),
+                 "rows_in": n_after_near, "rows_out": n_pre_dsir}
+            )
+            decon_attributed = True
+        t_ds = time.perf_counter()
+        raw_txt = dsir_cached.select(
+            "doc_id", ws_norm(F.col("full_text")).alias("text")
+        )
+        tgt = spark.read.parquet(dsir_target).select(
+            F.lit(0).cast("long").alias("doc_id"),
+            ws_norm(F.col("text")).alias("text"),
+        )
+        ratios = dsir_log_ratios(raw_txt, tgt, hash_mode=dsir_hash)
+        w = dsir_weights(raw_txt, ratios, hash_mode=dsir_hash)
+        k = int(n_pre_dsir * dsir_keep_frac)
+        ranked = global_row_number(
+            w,
+            [F.col("dsir_logweight").desc(), F.col("doc_id").asc()],
+            out_col="_dsir_rank",
+        )
+        keep_ids = ranked.where(F.col("_dsir_rank") <= k).select("doc_id")
+        curated = dsir_cached.join(keep_ids, "doc_id", "left_semi")
+        n_after_dsir = curated.count()
+        stages.append(
+            {"stage": "dsir_select",
+             "wall_s": round(time.perf_counter() - t_ds, 3),
+             "rows_in": n_pre_dsir, "rows_out": n_after_dsir}
+        )
     curated = curated.drop("full_text")
     mix_plan_rows = None
     n_pre_mix = None
@@ -370,7 +434,7 @@ def curate(
         ).persist()
         t_d = time.perf_counter()
         n_pre_mix = based.count()
-        if decon_eval:
+        if decon_eval and not decon_attributed:
             # this count is the action that materializes the decon
             # anti-join — attribute its wall time and row drop to a
             # decon stage, not to mix_plan (review-found inversion)
@@ -379,6 +443,7 @@ def curate(
                  "wall_s": round(time.perf_counter() - t_d, 3),
                  "rows_in": n_after_near, "rows_out": n_pre_mix}
             )
+            decon_attributed = True
         t_m = time.perf_counter()
         plan = token_budget_mix(
             based, mix_weights, mix_budget,
@@ -435,11 +500,15 @@ def curate(
         {"stage": ("mix_select_redact_write" if mix_budget is not None
                    else "decon_redact_write"),
          "wall_s": round(time.perf_counter() - t_w, 3),
-         "rows_in": n_pre_mix if n_pre_mix is not None else n_after_near,
+         "rows_in": (n_pre_mix if n_pre_mix is not None
+                     else n_after_dsir if n_after_dsir is not None
+                     else n_after_near),
          "rows_out": n_curated}
     )
     if based is not None:
         based.unpersist()
+    if dsir_cached is not None:
+        dsir_cached.unpersist()
     ok.unpersist()
     if bp_cached is not None:
         bp_cached.unpersist()
@@ -466,12 +535,20 @@ def curate(
             else {}
         ),
         **(
-            # when the mix stage is also on, the post-decon count is
-            # materialized (n_pre_mix), so decon and mix drops split
+            # the post-decon count is the first one materialized by a
+            # downstream stage (dsir, then mix, else the final write),
+            # so decon's drop splits cleanly from later selections
             {"dropped_contaminated": n_after_near - (
-                n_pre_mix if n_pre_mix is not None else n_curated
+                n_pre_dsir if n_pre_dsir is not None
+                else n_pre_mix if n_pre_mix is not None
+                else n_curated
             )}
             if decon_eval
+            else {}
+        ),
+        **(
+            {"dropped_dsir": n_pre_dsir - n_after_dsir}
+            if dsir_target is not None
             else {}
         ),
         **(
@@ -587,6 +664,17 @@ def main(argv: list[str] | None = None) -> int:
                          "shuffle_rank column and writes the output "
                          "physically ordered by it (same seed -> same "
                          "order on any cluster size)")
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet of exemplar docs (column `text`): "
+                         "DSIR-select the top --dsir-keep-frac of the "
+                         "surviving corpus by hashed-bigram target/raw "
+                         "log-likelihood ratio (Xie et al. 2023)")
+    ap.add_argument("--dsir-keep-frac", type=float, default=0.5,
+                    help="fraction of docs the DSIR stage keeps (0,1]")
+    ap.add_argument("--dsir-hash", choices=("portable", "fast"),
+                    default="fast",
+                    help="bucket hash: xxhash64 (fast, production) or "
+                         "md5-low-60 (portable, DuckDB-checkable)")
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--local-cores", type=int, default=None)
     ap.add_argument("--gen-docs", type=int, default=None,
@@ -632,6 +720,9 @@ def main(argv: list[str] | None = None) -> int:
         mix_weights=args.mix_weights,
         mix_stratum=args.mix_stratum,
         shuffle_seed=args.shuffle_seed,
+        dsir_target=args.dsir_target,
+        dsir_keep_frac=args.dsir_keep_frac,
+        dsir_hash=args.dsir_hash,
     )
     funnel["elapsed_sec"] = round(time.perf_counter() - t0, 3)
     funnel["status"] = "done"

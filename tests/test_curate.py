@@ -498,3 +498,98 @@ def test_curate_shuffle_seed_orders_output(spark, tmp_path):
     sb = file_seq(str(tmp_path / "b"))
     assert sa == sb
     assert [d for d, _ in sa] != sorted(d for d, _ in sa)
+
+
+def test_curate_dsir_select_keeps_target_like_docs(spark, tmp_path):
+    """--dsir-target: the DSIR stage keeps exactly the top keep-frac
+    by target/raw log-ratio — on a two-register corpus with register-A
+    exemplars, the A docs survive and the B docs drop; the funnel
+    arithmetic still sums."""
+    from jobs.curate import curate
+
+    rows = []
+    for i in range(6):
+        rows.append(_doc(f"a-{i}", " ".join(
+            f"alpha{j % 11} quality{(i + j) % 7} prose{j % 5} essay{i}x{j}"
+            for j in range(30))))
+    for i in range(6):
+        rows.append(_doc(f"b-{i}", " ".join(
+            f"spam{j % 3} zzz{(i * j) % 13} noise{j % 2} junk{i}y{j}"
+            for j in range(30))))
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_PA), src)
+    # exemplars: register-A style text (disjoint from any doc_id above)
+    tgt = str(tmp_path / "target.parquet")
+    pq.write_table(pa.table({"text": [
+        " ".join(f"alpha{j % 11} quality{j % 7} prose{j % 5}"
+                 for j in range(40)),
+    ]}), tgt)
+    out = str(tmp_path / "curated")
+    funnel = curate(spark, src, out, min_chars=10, min_tokens=5,
+                    jaccard=0.99, dsir_target=tgt, dsir_keep_frac=0.5)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {f"a-{i}" for i in range(6)}
+    assert funnel["dropped_dsir"] == 6
+    stages = {s["stage"]: s for s in funnel["stages"]}
+    assert stages["dsir_select"]["rows_in"] == 12
+    assert stages["dsir_select"]["rows_out"] == 6
+    assert (funnel["n_input"]
+            == funnel["dropped_extraction_failed"]
+            + funnel["dropped_quality"] + funnel["dropped_exact_dups"]
+            + funnel["dropped_near_dups"] + funnel["dropped_dsir"]
+            + funnel["n_curated"])
+
+
+def test_curate_dsir_fails_fast_on_bad_args(spark, tmp_path):
+    import pytest as _pytest
+
+    from jobs.curate import curate
+
+    missing = str(tmp_path / "nope.parquet")
+    out = str(tmp_path / "o")
+    with _pytest.raises(ValueError, match="dsir_keep_frac"):
+        curate(spark, missing, out, dsir_target="t", dsir_keep_frac=0.0)
+    with _pytest.raises(ValueError, match="dsir_hash"):
+        curate(spark, missing, out, dsir_target="t", dsir_hash="md5")
+
+
+def test_curate_decon_plus_dsir_attribution(spark, tmp_path):
+    """decon + dsir together: decon's drop lands in a 'decon' stage
+    (materialized by the dsir boundary count), dsir's in 'dsir_select',
+    and the funnel arithmetic sums across all three selections."""
+    from jobs.curate import curate
+
+    rows = [_doc("contaminated", BASE)]
+    for i in range(2):
+        rows.append(_doc(f"a-{i}", " ".join(
+            f"alpha{j % 11} quality{(i + j) % 7} prose{j % 5} essay{i}x{j}"
+            for j in range(30))))
+    for i in range(2):
+        rows.append(_doc(f"b-{i}", " ".join(
+            f"spam{j % 3} zzz{(i * j) % 13} noise{j % 2} junk{i}y{j}"
+            for j in range(30))))
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_PA), src)
+    ev = str(tmp_path / "eval.parquet")
+    pq.write_table(
+        pa.table({"text": ["benchmark question quoting: " + BASE]}), ev
+    )
+    tgt = str(tmp_path / "target.parquet")
+    pq.write_table(pa.table({"text": [
+        " ".join(f"alpha{j % 11} quality{j % 7} prose{j % 5}"
+                 for j in range(40)),
+    ]}), tgt)
+    out = str(tmp_path / "curated")
+    funnel = curate(spark, src, out, min_chars=10, min_tokens=5,
+                    jaccard=0.99, decon_eval=ev,
+                    dsir_target=tgt, dsir_keep_frac=0.5)
+    assert funnel["dropped_contaminated"] == 1
+    assert funnel["dropped_dsir"] == 2
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {"a-0", "a-1"}
+    stages = {s["stage"]: s for s in funnel["stages"]}
+    assert stages["decon"]["rows_in"] - stages["decon"]["rows_out"] == 1
+    assert stages["dsir_select"]["rows_in"] == 4
+    assert stages["dsir_select"]["rows_out"] == 2
+    # exactly ONE decon stage despite two downstream counting stages
+    assert sum(1 for s in funnel["stages"] if s["stage"] == "decon") == 1
