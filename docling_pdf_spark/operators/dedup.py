@@ -88,7 +88,11 @@ def _gram_arrays(
         F.arrays_zip(*parts),
         lambda s: F.concat_ws(" ", *[s[f"t{k}"] for k in range(n)]),
     )
-    return docs.select(F.col(id_col), gram.alias("grams"))
+    # NULL text propagates NULL through slice/zip/transform — coalesce
+    # back to the empty array so the kernel keeps its historical
+    # contract (the element_at form returned [] via the size() guard)
+    empty = F.array().cast("array<string>")
+    return docs.select(F.col(id_col), F.coalesce(gram, empty).alias("grams"))
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

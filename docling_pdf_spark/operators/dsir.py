@@ -107,11 +107,18 @@ def dsir_log_ratios(
     )
     whole = Window.partitionBy()  # bounded: <= n_buckets rows
     b = float(n_buckets)
+    # the target total MUST be computed from td BEFORE the left join:
+    # target grams hashing to buckets absent from raw would otherwise
+    # vanish from _ttot, inflating every log-ratio by a constant and
+    # biasing doc weights by n_grams x that constant (review-found —
+    # the DuckDB twin already summed the full td CTE; this aligns the
+    # Spark side). One broadcast row, no extra corpus pass.
+    ttot = td.agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_ttot"))
     joined = (
         rd.join(td, "bucket", "left")
         .withColumn("_tc", F.coalesce("_tc", F.lit(0)))
         .withColumn("_rtot", F.sum("_rc").over(whole))
-        .withColumn("_ttot", F.coalesce(F.sum("_tc").over(whole), F.lit(0)))
+        .crossJoin(F.broadcast(ttot))
     )
     # four ln() terms of exact integer-valued doubles — the identical
     # expression text runs in the DuckDB twin

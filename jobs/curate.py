@@ -25,11 +25,23 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _dsir_keep_count(n: int, frac: float) -> int:
+    """Floor of the EXACT product (the +1e-9 absorbs float
+    representation error: 90*0.7 = 62.99999... must keep 63,
+    review-found); keep at least one doc when any survive — a tiny
+    corpus at frac 0.5 silently dropping EVERYTHING is never what the
+    flag meant."""
+    if n <= 0:
+        return 0
+    return max(1, math.floor(n * frac + 1e-9))
 
 
 def curate(
@@ -329,20 +341,30 @@ def curate(
         return curated.count()
 
     n_after_near = _stage("near_dup_drop", n_exact, _near_drop_and_count)
+
+    # THE whitespace-normalization rule for every gram consumer (decon
+    # AND dsir): full_text joins spans with '\n' and exemplar dumps
+    # carry newlines — split-on-space would otherwise produce
+    # 'word8\nword9' tokens that never match across the boundary
+    # (review-found; one definition so the stages can't drift)
+    def ws_norm(c):
+        return F.regexp_replace(F.trim(c), r"\s+", " ")
+
+    def read_exemplars(path):
+        # exemplar parquet contract: one `text` column
+        return spark.read.parquet(path).select(
+            F.lit(0).cast("long").alias("doc_id"),
+            ws_norm(F.col("text")).alias("text"),
+        )
+
     if decon_eval:
         if decon_gram_words < 2:
             # 0 would make every position the empty gram '' on BOTH
             # sides → the whole corpus flags contaminated (review-found)
             raise ValueError(f"decon_gram_words must be >= 2, got {decon_gram_words}")
         from docling_pdf_spark.operators.dedup import _gram_arrays
-        # whitespace-normalize BOTH sides before gramming: full_text
-        # joins spans with '\n' and benchmark dumps carry newlines —
-        # split-on-space would otherwise produce 'word8\nword9' tokens
-        # that never match across the boundary (review-found)
-        ws_norm = lambda c: F.regexp_replace(F.trim(c), r"\s+", " ")  # noqa: E731
-        ev = spark.read.parquet(decon_eval).select(
-            F.lit(0).cast("long").alias("doc_id"), ws_norm(F.col("text")).alias("text")
-        )
+
+        ev = read_exemplars(decon_eval)
         ev_grams = (
             _gram_arrays(ev, "doc_id", "text", n=decon_gram_words)
             .select(F.explode(F.array_distinct("grams")).alias("g"))
@@ -373,7 +395,6 @@ def curate(
         )
         from docling_pdf_spark.operators.shuffle import global_row_number
 
-        ws_norm = lambda c: F.regexp_replace(F.trim(c), r"\s+", " ")  # noqa: E731
         dsir_cached = curated.persist()
         t_d0 = time.perf_counter()
         n_pre_dsir = dsir_cached.count()
@@ -390,13 +411,10 @@ def curate(
         raw_txt = dsir_cached.select(
             "doc_id", ws_norm(F.col("full_text")).alias("text")
         )
-        tgt = spark.read.parquet(dsir_target).select(
-            F.lit(0).cast("long").alias("doc_id"),
-            ws_norm(F.col("text")).alias("text"),
-        )
+        tgt = read_exemplars(dsir_target)
         ratios = dsir_log_ratios(raw_txt, tgt, hash_mode=dsir_hash)
         w = dsir_weights(raw_txt, ratios, hash_mode=dsir_hash)
-        k = int(n_pre_dsir * dsir_keep_frac)
+        k = _dsir_keep_count(n_pre_dsir, dsir_keep_frac)
         ranked = global_row_number(
             w,
             [F.col("dsir_logweight").desc(), F.col("doc_id").asc()],
@@ -680,6 +698,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--gen-docs", type=int, default=None,
                     help="synthesize a deterministic corpus at --input first")
     args = ap.parse_args(argv)
+    # a dsir tuning flag without --dsir-target would silently run the
+    # whole funnel with no DSIR stage — same fail-fast class as the
+    # mix_budget/mix_weights pairing (review-found)
+    if args.dsir_target is None and (
+        args.dsir_keep_frac != 0.5 or args.dsir_hash != "fast"
+    ):
+        ap.error("--dsir-keep-frac/--dsir-hash require --dsir-target")
 
     from docling_pdf_spark.fixtures import write_corpus
     from docling_pdf_spark.session import get_spark

@@ -133,3 +133,73 @@ def test_fast_hash_mode_preserves_separation(spark):
         for r in dsir_weights(docs, ratios, hash_mode="fast").collect()
     }
     assert min(w[i] for i in range(30)) > max(w[i] for i in range(30, 60))
+
+
+def test_target_total_counts_out_of_raw_vocabulary(spark):
+    """Review-found bias: the target total must include target grams
+    whose buckets never occur in the raw corpus (the normal external-
+    exemplar case). Verified against a hand-computed expectation on a
+    vocabulary-disjoint target."""
+    import math
+
+    raw = spark.createDataFrame(
+        [(1, "aa bb aa bb"), (2, "cc dd cc dd")],
+        "doc_id bigint, text string",
+    )
+    # 5 bigrams, vocabulary disjoint from raw -> (likely) raw-absent
+    # buckets; with the bug, _ttot collapsed to 0 instead of 5
+    tgt = spark.createDataFrame(
+        [(0, "xx yy xx yy xx yy")], "doc_id bigint, text string"
+    )
+    B = 10_000
+    ratios = {
+        r.bucket: r.log_ratio
+        for r in dsir_log_ratios(raw, tgt, n_buckets=B).collect()
+    }
+    from docling_pdf_spark.operators.dsir import _bucketed_grams
+
+    raw_buckets = [
+        r.bucket
+        for r in _bucketed_grams(raw, 2, B, "doc_id", "text").collect()
+    ]
+    tgt_buckets = {
+        r.bucket
+        for r in _bucketed_grams(tgt, 2, B, "doc_id", "text").collect()
+    }
+    rtot, ttot = len(raw_buckets), 5
+    from collections import Counter
+
+    rc = Counter(raw_buckets)
+    for b, lr in ratios.items():
+        tc = 0 if b not in tgt_buckets else None
+        assert tc == 0 or b in tgt_buckets
+        expect = (
+            math.log(0 + 1.0) - math.log(ttot + B)
+            - math.log(rc[b] + 1.0) + math.log(rtot + B)
+        )
+        assert abs(lr - expect) < 1e-12, (b, lr, expect)
+
+
+def test_null_text_yields_empty_grams(spark):
+    """Kernel contract pin (review-found): NULL text must produce an
+    EMPTY gram array, not NULL — a future size()/contains consumer
+    must see 0/false, not NULL propagation."""
+    from docling_pdf_spark.operators.dedup import _gram_arrays
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r.grams for r in _gram_arrays(docs, "doc_id", "text", n=2).collect()}
+    assert out[1] == []
+    assert out[2] == ["a b", "b c"]
+
+
+def test_dsir_keep_count_arithmetic():
+    from jobs.curate import _dsir_keep_count
+
+    assert _dsir_keep_count(90, 0.7) == 63     # 62.99999... must be 63
+    assert _dsir_keep_count(100, 0.29) == 29
+    assert _dsir_keep_count(100, 0.5) == 50
+    assert _dsir_keep_count(1, 0.5) == 1       # never silently drop all
+    assert _dsir_keep_count(0, 0.5) == 0
+    assert _dsir_keep_count(3, 1.0) == 3
