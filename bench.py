@@ -234,6 +234,27 @@ def _dsir_weights(spark, sf_dir):
     return dsir_weights(docs, dsir_log_ratios(docs, target))
 
 
+def _quality_classifier(spark, sf_dir):
+    # learned quality filter (round 6): train LR on a doc_id-sliced
+    # pseudo-labeled exemplar set (lang=='en' as the positive class —
+    # deterministic, label-balance irrelevant for a throughput row),
+    # then score the whole corpus. Scoring is the measured surface;
+    # training rides inside (small by construction).
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "label", (F.col("lang") == "en").cast("int")
+    )
+    model = train_quality_classifier(labeled)
+    return score_quality(docs, model)
+
+
 EXTRA_BENCH = {
     "winnow_fingerprints_fast": _winnow_fast,
     "minhash_lsh_fast": _minhash_fast,
@@ -249,6 +270,7 @@ EXTRA_BENCH = {
     "token_budget_mix": _token_budget_mix,
     "corpus_shuffle": _corpus_shuffle,
     "dsir_weights": _dsir_weights,
+    "quality_classifier": _quality_classifier,
 }
 
 

@@ -1,0 +1,82 @@
+"""Learned quality classifier (operators/classifier.py): planted
+separation, refit determinism, zero-token default, and the no-Python
+scoring plan — the pytest gates for the one iterative-training
+operator family (same posture as IVF k-means)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_pdf_spark.operators.classifier import (
+    score_quality,
+    train_quality_classifier,
+)
+
+
+def _corpus(spark, n_per=40):
+    rows = []
+    for i in range(n_per):
+        rows.append((i, " ".join(
+            f"alpha{j % 11} quality{(i + j) % 7} prose{j % 5}"
+            for j in range(25)), 1))
+    for i in range(n_per, 2 * n_per):
+        rows.append((i, " ".join(
+            f"spam{j % 3} zzz{(i * j) % 13} noise{j % 2}"
+            for j in range(25)), 0))
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, label int"
+    )
+
+
+def test_planted_separation(spark):
+    """Disjoint-register corpus: train on a slice, score the rest —
+    every held-out good doc must outscore every held-out bad doc."""
+    docs = _corpus(spark)
+    train = docs.where(F.col("doc_id") % 4 == 0)
+    test = docs.where(F.col("doc_id") % 4 != 0)
+    model = train_quality_classifier(train)
+    scores = {
+        r.doc_id: r.quality_prob
+        for r in score_quality(test, model).collect()
+    }
+    good = [v for k, v in scores.items() if k < 40]
+    bad = [v for k, v in scores.items() if k >= 40]
+    assert min(good) > max(bad)
+    assert min(good) > 0.5 > max(bad)
+
+
+def test_refit_is_deterministic(spark):
+    """Same data, same partitioning → bit-stable coefficients (the
+    embedder is deterministic; L-BFGS from a fixed init is too)."""
+    docs = _corpus(spark, n_per=20)
+    m1 = train_quality_classifier(docs)
+    m2 = train_quality_classifier(docs)
+    assert m1.coefficients.toArray().tolist() == \
+        m2.coefficients.toArray().tolist()
+    assert m1.intercept == m2.intercept
+
+
+def test_zero_token_docs_score_zero(spark):
+    docs = _corpus(spark, n_per=10)
+    model = train_quality_classifier(docs)
+    probe = spark.createDataFrame(
+        [(1000, ""), (1001, "alpha1 quality2 prose3 alpha4")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.quality_prob
+           for r in score_quality(probe, model).collect()}
+    assert out[1000] == 0.0
+    assert out[1001] > 0.5
+
+
+def test_scoring_plan_has_no_python(spark):
+    """model.transform + vector ops are JVM expressions: the scoring
+    plan must contain no Python stage (the 100 TB hot path)."""
+    from docling_pdf_spark.plans import formatted_plan
+
+    docs = _corpus(spark, n_per=10)
+    model = train_quality_classifier(docs)
+    p = formatted_plan(score_quality(docs, model))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "MapInArrow", "FlatMapGroupsInPandas"):
+        assert marker not in p, marker
