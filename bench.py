@@ -223,15 +223,12 @@ def _corpus_shuffle(spark, sf_dir):
 
 def _dsir_weights(spark, sf_dir):
     # DSIR importance weights (round 6): two hashed-bigram distribution
-    # passes + one broadcast-join scoring shuffle, all JVM. Target =
-    # the deterministic doc_id % 17 slice (synthetic-target convention)
-    from pyspark.sql import functions as F
+    # passes + one broadcast-join scoring shuffle, all JVM. Delegates
+    # to the REGISTERED entry so the benched computation can never
+    # drift from the scoreboard one (review-found)
+    import __spark_entry__ as se
 
-    from docling_pdf_spark.operators.dsir import dsir_log_ratios, dsir_weights
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    target = docs.where(F.col("doc_id") % 17 == 0)
-    return dsir_weights(docs, dsir_log_ratios(docs, target))
+    return se._dsir_weights(spark, sf_dir)
 
 
 def _quality_classifier(spark, sf_dir):

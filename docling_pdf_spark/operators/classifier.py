@@ -93,12 +93,21 @@ def score_quality(
     text_col: str = "text",
     out_col: str = "quality_prob",
 ) -> DataFrame:
-    """Input schema + `out_col` = P(label=1) for every doc. Docs with
-    no tokens (the embedder's zero-norm exclusion) get 0.0 — an empty
-    document is never quality. Scoring is one JVM projection over the
-    embedded corpus; the model broadcasts."""
+    """NARROW (id_col, out_col) frame — one row per input doc with
+    P(label=1). Returning only the score column keeps the re-attach
+    join out of this operator: at 100 TB the caller decides whether
+    to ship the text bytes through a second shuffle (review-found —
+    the full-width left join contradicted the scan-speed posture).
+    Docs the embedder excludes (no tokens, OR non-empty docs whose
+    ±1 hash votes cancel to a zero norm — both are featureless to
+    this model) get the model's PRIOR, sigmoid(intercept): the
+    logistic regression's own answer for a zero feature vector, not a
+    silent hard-reject (review-found)."""
+    import math
+
     from pyspark.ml.functions import vector_to_array
 
+    prior = 1.0 / (1.0 + math.exp(-float(model.intercept)))
     feats = _featurize(docs, dim, id_col, text_col)
     scored = (
         model.transform(feats)
@@ -108,6 +117,10 @@ def score_quality(
         )
     )
     return (
-        docs.join(scored, id_col, "left")
-        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0)))
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit(prior)).alias(out_col),
+        )
     )
