@@ -593,3 +593,118 @@ def test_curate_decon_plus_dsir_attribution(spark, tmp_path):
     assert stages["dsir_select"]["rows_out"] == 2
     # exactly ONE decon stage despite two downstream counting stages
     assert sum(1 for s in funnel["stages"] if s["stage"] == "decon") == 1
+
+
+def test_curate_kitchen_sink_every_stage_drops_its_offender(spark, tmp_path):
+    """ALL optional funnel stages in one run — boilerplate strip, exact
+    dedup, near-dup, decon, DSIR, mixture, PII redaction, output
+    shuffle — each dropping exactly its planted offender. Pins the
+    cross-stage interactions (count attribution, full_text recompute
+    after strip, persist boundaries) that single-stage tests miss."""
+    from jobs.curate import curate
+
+    FOOTER = "this footer line appears in every corporate document verbatim"
+
+    def a_text(i, n=40, extra=""):
+        # register-A: ~2/3 shared register vocab, 1/3 per-doc-unique
+        # (pairwise Jaccard ~0.5 — distinct under the 0.85 near-dup
+        # gate, but clearly target-registered for DSIR)
+        body = " ".join(
+            f"alpha{j % 11} quality{j % 7} unique{i}doc{j}"
+            for j in range(n)
+        )
+        return body + (" " + extra if extra else "")
+
+    def b_text(i, n=40):
+        return " ".join(
+            f"spam{j % 3} zzz{(i * j) % 13} junk{i}y{j}" for j in range(n)
+        )
+
+    # all non-mix-target docs the SAME length: DSIR log-weights are
+    # SUMS over grams, so a longer doc accumulates more negative mass
+    # from its unique grams — length asymmetry would decide the
+    # selection instead of the register (first draft of this test
+    # planted 270-word A docs vs 120-word junk and DSIR correctly
+    # preferred the junk)
+    rows = [
+        _doc("contaminated", BASE),                     # decon drops
+        _doc("exact-a", a_text(90, n=40)),              # exact pair:
+        _doc("exact-b", a_text(90, n=40)),              #   drops exact-b
+        _doc("near-a", a_text(91, n=40)),               # near pair:
+        _doc("near-b", a_text(91, n=40).replace("unique91doc5", "edited")),
+        _doc("junk-1", b_text(1)),                      # DSIR drops both
+        _doc("junk-2", b_text(2)),
+        _doc("good-1", a_text(1, extra="contact john.doe@example.com now")
+             + "\n" + FOOTER),                          # PII + footer
+        _doc("good-2", a_text(2) + "\n" + FOOTER),
+        _doc("good-3", a_text(3) + "\n" + FOOTER),
+        _doc("good-4", a_text(4, n=20)),                # shortest: mix drops
+    ]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_PA), src)
+    ev = str(tmp_path / "eval.parquet")
+    pq.write_table(
+        pa.table({"text": ["benchmark question quoting: " + BASE]}), ev
+    )
+    tgt = str(tmp_path / "target.parquet")
+    # TEN exemplar rows, not one: DSIR is a target/raw ratio, and the
+    # raw corpus here is mostly A-register, so a single exemplar's
+    # tc~1 cannot beat the rc penalty of raw-common register grams —
+    # exemplar mass is what makes the register distinctive
+    pq.write_table(pa.table({"text": [
+        " ".join(f"alpha{j % 11} quality{j % 7}" for j in range(40))
+        for _ in range(10)
+    ]}), tgt)
+
+    common = dict(min_chars=10, min_tokens=5, jaccard=0.85,
+                  strip_boilerplate=3, decon_eval=ev,
+                  dsir_target=tgt, dsir_keep_frac=0.75, redact_pii=True)
+    # probe WITHOUT mix/shuffle to size the budget
+    probe = curate(spark, src, str(tmp_path / "probe"), **common)
+    assert probe["dropped_contaminated"] == 1
+    assert probe["dropped_exact_dups"] == 1
+    assert probe["dropped_near_dups"] == 1
+    assert probe["dropped_dsir"] == 2          # both junk docs
+    assert probe["n_curated"] == 6
+    total_words = sum(
+        r["n_words"]
+        for r in spark.read.parquet(str(tmp_path / "probe")).collect()
+    )
+
+    out = str(tmp_path / "curated")
+    funnel = curate(spark, src, out, **common,
+                    mix_budget=total_words - 1,
+                    mix_weights={"unknown": 100}, shuffle_seed=7)
+    assert funnel["removed_boilerplate_lines"] >= 3
+    assert funnel["dropped_contaminated"] == 1
+    assert funnel["dropped_exact_dups"] == 1
+    assert funnel["dropped_near_dups"] == 1
+    assert funnel["dropped_dsir"] == 2
+    assert funnel["dropped_mix_budget"] == 1   # the shortest survivor
+    assert funnel["n_curated"] == 5
+    # arithmetic closes across every selection
+    assert (funnel["n_input"]
+            == funnel["dropped_extraction_failed"]
+            + funnel["dropped_quality"] + funnel["dropped_exact_dups"]
+            + funnel["dropped_near_dups"] + funnel["dropped_contaminated"]
+            + funnel["dropped_dsir"] + funnel["dropped_mix_budget"]
+            + funnel["n_curated"])
+    # single attribution: decon counted once, each stage present once
+    names = [s["stage"] for s in funnel["stages"]]
+    for stage in ("decon", "dsir_select", "mix_plan",
+                  "mix_select_redact_write"):
+        assert names.count(stage) == 1, stage
+
+    kept = spark.read.parquet(out)
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert ids == {"exact-a", "near-a", "good-1", "good-2", "good-3"}
+    # shuffle ranks dense 1..5
+    ranks = sorted(r.shuffle_rank for r in kept.collect())
+    assert ranks == [1, 2, 3, 4, 5]
+    # PII scrubbed and footer stripped from the surviving spans
+    texts = "\n".join(
+        s["text"] for r in kept.collect() for s in r["spans"]
+        if s["kind"] == "text"
+    )
+    assert "[EMAIL]" in texts and "john.doe@example.com" not in texts
+    assert FOOTER not in texts
