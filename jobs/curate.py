@@ -76,6 +76,8 @@ def curate(
     dsir_target: str | None = None,
     dsir_keep_frac: float = 0.5,
     dsir_hash: str = "fast",
+    quality_exemplars: str | None = None,
+    quality_threshold: float = 0.5,
 ):
     """documents → curated extracted corpus; returns the funnel dict.
 
@@ -131,6 +133,12 @@ def curate(
             raise ValueError(
                 f"dsir_hash must be portable|fast, got {dsir_hash!r}"
             )
+    if quality_exemplars is not None and not (
+        0.0 <= quality_threshold <= 1.0
+    ):
+        raise ValueError(
+            f"quality_threshold must be in [0, 1], got {quality_threshold}"
+        )
 
     # per-stage observability (r5 VERDICT #6): Spark is lazy, so each
     # stage's wall time is attributed to the ACTION that materializes
@@ -380,9 +388,63 @@ def curate(
             tr_grams.join(F.broadcast(ev_grams), "g").select("doc_id").distinct()
         )
         curated = curated.join(contaminated, "doc_id", "left_anti")
+    decon_attributed = False
+
+    def _count_attributing_decon(df):
+        # the first post-decon counting stage materializes the decon
+        # anti-join — attribute its wall + row drop to a decon stage
+        # exactly once, whoever counts first (classifier/dsir/mix)
+        nonlocal decon_attributed
+        t0 = time.perf_counter()
+        n = df.count()
+        if decon_eval and not decon_attributed:
+            stages.append(
+                {"stage": "decon",
+                 "wall_s": round(time.perf_counter() - t0, 3),
+                 "rows_in": n_after_near, "rows_out": n}
+            )
+            decon_attributed = True
+        return n
+
+    n_pre_q = None
+    n_after_q = None
+    qc_cached = None
+    if quality_exemplars is not None:
+        # learned quality gate (CCNet-style): LR trained on labeled
+        # exemplars (parquet with text + label∈{0,1}), scored over the
+        # surviving corpus's full_text; keep P(quality) >= threshold
+        from docling_pdf_spark.operators.classifier import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        qc_cached = curated.persist()
+        n_pre_q = _count_attributing_decon(qc_cached)
+        t_q = time.perf_counter()
+        ex = spark.read.parquet(quality_exemplars).select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            ws_norm(F.col("text")).alias("text"),
+            F.col("label"),
+        )
+        model = train_quality_classifier(ex)
+        scored = score_quality(
+            qc_cached.select(
+                "doc_id", ws_norm(F.col("full_text")).alias("text")
+            ),
+            model,
+        )
+        keep = scored.where(
+            F.col("quality_prob") >= quality_threshold
+        ).select("doc_id")
+        curated = qc_cached.join(keep, "doc_id", "left_semi")
+        n_after_q = curated.count()
+        stages.append(
+            {"stage": "quality_classifier",
+             "wall_s": round(time.perf_counter() - t_q, 3),
+             "rows_in": n_pre_q, "rows_out": n_after_q}
+        )
     n_pre_dsir = None
     n_after_dsir = None
-    decon_attributed = False
     dsir_cached = None
     if dsir_target is not None:
         # DSIR data selection (Xie et al. 2023): score every surviving
@@ -396,17 +458,7 @@ def curate(
         from docling_pdf_spark.operators.shuffle import global_row_number
 
         dsir_cached = curated.persist()
-        t_d0 = time.perf_counter()
-        n_pre_dsir = dsir_cached.count()
-        if decon_eval:
-            # this count materialized the decon anti-join — attribute
-            # its wall and row drop to decon, not to dsir
-            stages.append(
-                {"stage": "decon",
-                 "wall_s": round(time.perf_counter() - t_d0, 3),
-                 "rows_in": n_after_near, "rows_out": n_pre_dsir}
-            )
-            decon_attributed = True
+        n_pre_dsir = _count_attributing_decon(dsir_cached)
         t_ds = time.perf_counter()
         raw_txt = dsir_cached.select(
             "doc_id", ws_norm(F.col("full_text")).alias("text")
@@ -450,18 +502,7 @@ def curate(
             "_stratum",
             F.coalesce(F.col(mix_stratum).cast("string"), F.lit("unknown")),
         ).persist()
-        t_d = time.perf_counter()
-        n_pre_mix = based.count()
-        if decon_eval and not decon_attributed:
-            # this count is the action that materializes the decon
-            # anti-join — attribute its wall time and row drop to a
-            # decon stage, not to mix_plan (review-found inversion)
-            stages.append(
-                {"stage": "decon",
-                 "wall_s": round(time.perf_counter() - t_d, 3),
-                 "rows_in": n_after_near, "rows_out": n_pre_mix}
-            )
-            decon_attributed = True
+        n_pre_mix = _count_attributing_decon(based)
         t_m = time.perf_counter()
         plan = token_budget_mix(
             based, mix_weights, mix_budget,
@@ -520,6 +561,7 @@ def curate(
          "wall_s": round(time.perf_counter() - t_w, 3),
          "rows_in": (n_pre_mix if n_pre_mix is not None
                      else n_after_dsir if n_after_dsir is not None
+                     else n_after_q if n_after_q is not None
                      else n_after_near),
          "rows_out": n_curated}
     )
@@ -527,6 +569,8 @@ def curate(
         based.unpersist()
     if dsir_cached is not None:
         dsir_cached.unpersist()
+    if qc_cached is not None:
+        qc_cached.unpersist()
     ok.unpersist()
     if bp_cached is not None:
         bp_cached.unpersist()
@@ -554,14 +598,20 @@ def curate(
         ),
         **(
             # the post-decon count is the first one materialized by a
-            # downstream stage (dsir, then mix, else the final write),
-            # so decon's drop splits cleanly from later selections
+            # downstream stage (classifier, dsir, mix, else the final
+            # write), so decon's drop splits cleanly from selections
             {"dropped_contaminated": n_after_near - (
-                n_pre_dsir if n_pre_dsir is not None
+                n_pre_q if n_pre_q is not None
+                else n_pre_dsir if n_pre_dsir is not None
                 else n_pre_mix if n_pre_mix is not None
                 else n_curated
             )}
             if decon_eval
+            else {}
+        ),
+        **(
+            {"dropped_quality_model": n_pre_q - n_after_q}
+            if quality_exemplars is not None
             else {}
         ),
         **(
@@ -693,6 +743,13 @@ def main(argv: list[str] | None = None) -> int:
                     default="fast",
                     help="bucket hash: xxhash64 (fast, production) or "
                          "md5-low-60 (portable, DuckDB-checkable)")
+    ap.add_argument("--quality-exemplars", default=None,
+                    help="parquet of labeled exemplars (columns `text`, "
+                         "`label` in {0,1}): train a logistic-regression "
+                         "quality filter and keep docs with "
+                         "P(quality) >= --quality-threshold")
+    ap.add_argument("--quality-threshold", type=float, default=0.5,
+                    help="probability cutoff for --quality-exemplars")
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--local-cores", type=int, default=None)
     ap.add_argument("--gen-docs", type=int, default=None,
@@ -705,6 +762,8 @@ def main(argv: list[str] | None = None) -> int:
         args.dsir_keep_frac != 0.5 or args.dsir_hash != "fast"
     ):
         ap.error("--dsir-keep-frac/--dsir-hash require --dsir-target")
+    if args.quality_exemplars is None and args.quality_threshold != 0.5:
+        ap.error("--quality-threshold requires --quality-exemplars")
 
     from docling_pdf_spark.fixtures import write_corpus
     from docling_pdf_spark.session import get_spark
@@ -748,6 +807,8 @@ def main(argv: list[str] | None = None) -> int:
         dsir_target=args.dsir_target,
         dsir_keep_frac=args.dsir_keep_frac,
         dsir_hash=args.dsir_hash,
+        quality_exemplars=args.quality_exemplars,
+        quality_threshold=args.quality_threshold,
     )
     funnel["elapsed_sec"] = round(time.perf_counter() - t0, 3)
     funnel["status"] = "done"

@@ -708,3 +708,48 @@ def test_curate_kitchen_sink_every_stage_drops_its_offender(spark, tmp_path):
     )
     assert "[EMAIL]" in texts and "john.doe@example.com" not in texts
     assert FOOTER not in texts
+
+
+def test_curate_quality_classifier_gate(spark, tmp_path):
+    """--quality-exemplars: a labeled exemplar set trains the LR
+    filter and the B-register docs are dropped at the 0.5 cutoff;
+    drops land in dropped_quality_model and the arithmetic sums."""
+    from jobs.curate import curate
+
+    def a(i):
+        return " ".join(
+            f"alpha{j % 11} quality{(i + j) % 7} prose{j % 5} key{i}k{j}"
+            for j in range(30))
+
+    def b(i):
+        return " ".join(
+            f"spam{j % 3} zzz{(i * j) % 13} junk{i}y{j}" for j in range(30))
+
+    rows = [_doc(f"a-{i}", a(i)) for i in range(4)]
+    rows += [_doc(f"b-{i}", b(i)) for i in range(4)]
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=DOCUMENTS_PA), src)
+    ex = str(tmp_path / "exemplars.parquet")
+    pq.write_table(pa.table({
+        "text": [a(100 + i) for i in range(8)] + [b(100 + i) for i in range(8)],
+        "label": [1] * 8 + [0] * 8,
+    }), ex)
+    out = str(tmp_path / "curated")
+    funnel = curate(spark, src, out, min_chars=10, min_tokens=5,
+                    jaccard=0.99, quality_exemplars=ex)
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {f"a-{i}" for i in range(4)}
+    assert funnel["dropped_quality_model"] == 4
+    stages = {s["stage"]: s for s in funnel["stages"]}
+    assert stages["quality_classifier"]["rows_in"] == 8
+    assert stages["quality_classifier"]["rows_out"] == 4
+    assert (funnel["n_input"]
+            == funnel["dropped_extraction_failed"]
+            + funnel["dropped_quality"] + funnel["dropped_exact_dups"]
+            + funnel["dropped_near_dups"] + funnel["dropped_quality_model"]
+            + funnel["n_curated"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quality_threshold"):
+        curate(spark, str(tmp_path / "nope"), out,
+               quality_exemplars=ex, quality_threshold=1.5)
