@@ -224,3 +224,93 @@ def test_selection_drops_unplanned_strata(spark):
     langs = {r.lang for r in out.select("lang").distinct().collect()}
     assert langs == {"en"}
     assert out.columns == docs.columns
+
+
+def test_waterfilling_property_random_weights_budgets(spark):
+    """Hypothesis sweep of the exact water-filling algebra over random
+    weight grains (1..1e12), budgets (0..beyond capacity) and token
+    distributions: every invariant the closed form promises must hold
+    — saturated strata get exactly their capacity, unsaturated ones
+    the floored proportional share of the residual, Σalloc ≤
+    min(budget, capacity), and the selection keeps exactly the
+    maximal in-order prefix within each allocation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    strat = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**12),   # weight
+            st.lists(st.integers(min_value=0, max_value=5_000),
+                     min_size=0, max_size=8),              # doc tokens
+        ),
+        min_size=1, max_size=5,
+    )
+
+    @given(entries=strat, budget=st.integers(min_value=0, max_value=60_000))
+    @settings(max_examples=15, deadline=None)
+    def check(entries, budget):
+        weights = {f"s{i}": w for i, (w, _) in enumerate(entries)}
+        rows = [
+            (f"s{i}-d{j}", f"s{i}", t)
+            for i, (_, toks) in enumerate(entries)
+            for j, t in enumerate(toks)
+        ]
+        docs = spark.createDataFrame(
+            rows or [("empty", "s0", 0)],
+            "doc_id string, lang string, n_chars long",
+        )
+        if not rows:
+            docs = docs.where(F.lit(False))
+        plan = {
+            r["stratum"]: r
+            for r in token_budget_mix(docs, weights, budget).collect()
+        }
+        caps = {
+            f"s{i}": sum(toks) for i, (_, toks) in enumerate(entries)
+        }
+        assert set(plan) == set(weights)
+        satcap = sum(
+            r["capacity_tokens"] for r in plan.values() if r["saturated"]
+        )
+        remw = sum(
+            r["weight"] for r in plan.values() if not r["saturated"]
+        )
+        total_alloc = 0
+        for s, r in plan.items():
+            assert r["capacity_tokens"] == caps.get(s, 0)
+            assert 0 <= r["allocation_tokens"] <= r["capacity_tokens"]
+            if r["saturated"]:
+                assert r["allocation_tokens"] == r["capacity_tokens"]
+            else:
+                assert (
+                    r["allocation_tokens"]
+                    == (budget - satcap) * r["weight"] // remw
+                )
+            total_alloc += r["allocation_tokens"]
+        assert total_alloc <= min(budget, sum(caps.values()))
+
+        # selection: exactly the maximal in-order prefix per stratum
+        kept = {
+            r.doc_id
+            for r in fill_to_allocation(
+                docs,
+                token_budget_mix(docs, weights, budget),
+                order_by=-F.col("n_chars"),
+                n_buckets=3,
+            ).select("doc_id").collect()
+        }
+        for i, (_, toks) in enumerate(entries):
+            order = sorted(
+                ((t, f"s{i}-d{j}") for j, t in enumerate(toks)),
+                key=lambda p: (-p[0], p[1]),
+            )
+            alloc = plan[f"s{i}"]["allocation_tokens"]
+            cum, expect = 0, set()
+            for t, d in order:
+                if cum + t > alloc:
+                    break
+                cum += t
+                expect.add(d)
+            assert {d for d in kept if d.startswith(f"s{i}-")} == expect
+
+    check()
