@@ -139,6 +139,39 @@ def curate(
         raise ValueError(
             f"quality_threshold must be in [0, 1], got {quality_threshold}"
         )
+    # eager side-input contract checks: a bad path or schema must not
+    # cost the whole funnel (review-found — the exemplar read used to
+    # happen only after the corpus had already been processed). Schema
+    # reads are footer-only; the label-domain probe is one job over
+    # the SMALL exemplar file, never the corpus.
+    for _path, _need in (
+        (decon_eval, {"text"}),
+        (dsir_target, {"text"}),
+        (quality_exemplars, {"text", "label"}),
+    ):
+        if _path:
+            _cols = set(spark.read.parquet(_path).columns)
+            if not _need <= _cols:
+                raise ValueError(
+                    f"exemplar parquet {_path!r} must have columns "
+                    f"{sorted(_need)}, found {sorted(_cols)}"
+                )
+    if quality_exemplars is not None:
+        _bad = (
+            spark.read.parquet(quality_exemplars)
+            .where(
+                F.col("label").isNull()
+                | ~F.col("label").cast("int").isin(0, 1)
+            )
+            .limit(1)
+            .count()
+        )
+        if _bad:
+            raise ValueError(
+                "quality_exemplars labels must all be 0 or 1 (a "
+                "multi-class label would silently fit a multinomial "
+                "model and crash at scoring)"
+            )
 
     # per-stage observability (r5 VERDICT #6): Spark is lazy, so each
     # stage's wall time is attributed to the ACTION that materializes
@@ -358,11 +391,27 @@ def curate(
     def ws_norm(c):
         return F.regexp_replace(F.trim(c), r"\s+", " ")
 
-    def read_exemplars(path):
-        # exemplar parquet contract: one `text` column
+    def read_exemplars(path, label=False):
+        # THE exemplar parquet contract: a `text` column (+ `label`
+        # when asked) — one reader for decon, dsir AND the classifier
+        # so the normalization rule can't drift (review-found dup)
+        if not label:
+            return spark.read.parquet(path).select(
+                F.lit(0).cast("long").alias("doc_id"),
+                ws_norm(F.col("text")).alias("text"),
+            )
+        from pyspark.sql import Window as _W
+
+        # deterministic unique id: monotonically_increasing_id was
+        # review-found nondeterministic across the feature/label
+        # join's two scans (silent label misalignment). Exemplar sets
+        # are small by construction — the single-partition window is
+        # bounded by them, never by the corpus.
         return spark.read.parquet(path).select(
-            F.lit(0).cast("long").alias("doc_id"),
-            ws_norm(F.col("text")).alias("text"),
+            ws_norm(F.col("text")).alias("text"), F.col("label")
+        ).withColumn(
+            "doc_id",
+            F.row_number().over(_W.orderBy("text", "label")).cast("long"),
         )
 
     if decon_eval:
@@ -409,6 +458,7 @@ def curate(
     n_pre_q = None
     n_after_q = None
     qc_cached = None
+    qc_keep = None
     if quality_exemplars is not None:
         # learned quality gate (CCNet-style): LR trained on labeled
         # exemplars (parquet with text + label∈{0,1}), scored over the
@@ -421,22 +471,22 @@ def curate(
         qc_cached = curated.persist()
         n_pre_q = _count_attributing_decon(qc_cached)
         t_q = time.perf_counter()
-        ex = spark.read.parquet(quality_exemplars).select(
-            F.monotonically_increasing_id().alias("doc_id"),
-            ws_norm(F.col("text")).alias("text"),
-            F.col("label"),
+        model = train_quality_classifier(
+            read_exemplars(quality_exemplars, label=True)
         )
-        model = train_quality_classifier(ex)
         scored = score_quality(
             qc_cached.select(
                 "doc_id", ws_norm(F.col("full_text")).alias("text")
             ),
             model,
         )
-        keep = scored.where(
+        # persist the (narrow) keep list: without it the whole
+        # embed+score DAG re-executes at the next downstream action
+        # (review-found — the costliest new stage was running 2x)
+        qc_keep = scored.where(
             F.col("quality_prob") >= quality_threshold
-        ).select("doc_id")
-        curated = qc_cached.join(keep, "doc_id", "left_semi")
+        ).select("doc_id").persist()
+        curated = qc_cached.join(qc_keep, "doc_id", "left_semi")
         n_after_q = curated.count()
         stages.append(
             {"stage": "quality_classifier",
@@ -446,6 +496,7 @@ def curate(
     n_pre_dsir = None
     n_after_dsir = None
     dsir_cached = None
+    dsir_keep = None
     if dsir_target is not None:
         # DSIR data selection (Xie et al. 2023): score every surviving
         # doc by the hashed-bigram target/raw log-likelihood ratio and
@@ -472,8 +523,13 @@ def curate(
             [F.col("dsir_logweight").desc(), F.col("doc_id").asc()],
             out_col="_dsir_rank",
         )
-        keep_ids = ranked.where(F.col("_dsir_rank") <= k).select("doc_id")
-        curated = dsir_cached.join(keep_ids, "doc_id", "left_semi")
+        # persist the narrow keep list so the gram+rank DAG doesn't
+        # re-execute at the next downstream action (same review-found
+        # double-execution class as the classifier stage)
+        dsir_keep = ranked.where(
+            F.col("_dsir_rank") <= k
+        ).select("doc_id").persist()
+        curated = dsir_cached.join(dsir_keep, "doc_id", "left_semi")
         n_after_dsir = curated.count()
         stages.append(
             {"stage": "dsir_select",
@@ -569,8 +625,12 @@ def curate(
         based.unpersist()
     if dsir_cached is not None:
         dsir_cached.unpersist()
+    if dsir_keep is not None:
+        dsir_keep.unpersist()
     if qc_cached is not None:
         qc_cached.unpersist()
+    if qc_keep is not None:
+        qc_keep.unpersist()
     ok.unpersist()
     if bp_cached is not None:
         bp_cached.unpersist()

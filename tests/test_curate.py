@@ -753,3 +753,29 @@ def test_curate_quality_classifier_gate(spark, tmp_path):
     with _pytest.raises(ValueError, match="quality_threshold"):
         curate(spark, str(tmp_path / "nope"), out,
                quality_exemplars=ex, quality_threshold=1.5)
+
+
+def test_curate_exemplar_contracts_fail_fast(spark, tmp_path):
+    """Review-found: a bad side-input path/schema/label domain must
+    raise BEFORE the funnel runs — probed with a nonexistent corpus
+    path so reaching any corpus action would raise AnalysisException
+    instead of the expected ValueError."""
+    import pytest as _pytest
+
+    from jobs.curate import curate
+
+    missing = str(tmp_path / "nope.parquet")
+    out = str(tmp_path / "o")
+    # schema contract: no `text` column
+    bad_schema = str(tmp_path / "bad.parquet")
+    pq.write_table(pa.table({"body": ["x"]}), bad_schema)
+    with _pytest.raises(ValueError, match="must have columns"):
+        curate(spark, missing, out, decon_eval=bad_schema)
+    with _pytest.raises(ValueError, match="must have columns"):
+        curate(spark, missing, out, dsir_target=bad_schema)
+    # label domain: {0,1,2} would fit multinomial and crash at scoring
+    bad_labels = str(tmp_path / "labels.parquet")
+    pq.write_table(pa.table({"text": ["a", "b", "c"],
+                             "label": [0, 1, 2]}), bad_labels)
+    with _pytest.raises(ValueError, match="0 or 1"):
+        curate(spark, missing, out, quality_exemplars=bad_labels)
