@@ -1,0 +1,358 @@
+"""Arrow-batch execution of the portable-hash gram kernels.
+
+The engine-portable 60-bit hash (functions/hashing.py: low 15 hex chars
+of md5 as BIGINT) is the oracle contract for winnowing, portable
+MinHash/SimHash, and DSIR bucketing — DuckDB computes the identical
+value, so those operators are exactly SQL-checkable. The JVM evaluation
+of that contract is expensive in exactly the places it is needed most:
+per-gram hashing lives inside `F.transform(...)` higher-order lambdas,
+which Spark evaluates INTERPRETED (no whole-stage codegen), and each
+evaluation walks md5 → hex string → substring → conv(16,10) → cast,
+allocating at every step. Measured ~3–5 µs per gram single-threaded
+(winnow_fingerprints at sf1.0: ~40 s for ~14.5M grams on a 2-split
+scan).
+
+This module computes the IDENTICAL values through `mapInArrow`
+(guide §4.2: let Spark do distribution and I/O, hand whole batches to
+native code): hashlib's C md5 plus numpy for window-min / distinct /
+vote loops runs the same gram kernel at ~0.5 µs per gram, and the
+operators keep their zero-Exchange, embarrassingly-parallel shape (one
+narrow Python stage over the pruned (id, text) projection — the
+repo-sanctioned Arrow surface, no row-at-a-time UDFs).
+
+Exactness: `_md5_low60(b)` == conv(substring(md5(x),18,15),16,10)
+by construction — md5 hex chars 18..32 (1-indexed) are the low nibble
+of digest byte 8 plus bytes 9..15, i.e. int.from_bytes(digest[8:16],
+"big") & (2^60-1). Token/gram semantics replicate the JVM expressions
+they replace exactly (single-space split keeps empty tokens; the
+Java-regex "\\s+" tokenizer is ASCII-whitespace [ \\t\\n\\x0b\\f\\r],
+NOT Python's Unicode \\s; substr counts code points — Python slicing
+matches because both count code points). Every kernel is pinned
+against its DuckDB twin by the existing oracle tests.
+"""
+
+from __future__ import annotations
+
+import re
+from hashlib import md5 as _md5
+
+import numpy as np
+
+from docling_pdf_spark.functions.scanspread import spread_unsplittable
+
+_MASK60 = (1 << 60) - 1
+
+# Java's default (non-UNICODE_CHARACTER_CLASS) \s — Python's re \s would
+# additionally match U+00A0 etc. and diverge from F.split(col, "\\s+")
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def md5_low60(data: bytes) -> int:
+    """Exact Python twin of functions.hashing.portable_hash60 (and the
+    DuckDB PORTABLE_HASH60_SQL expression) over raw bytes."""
+    return int.from_bytes(_md5(data).digest()[8:16], "big") & _MASK60
+
+
+def _winnow_doc(t: str, k: int, w: int):
+    """Distinct winnowed fingerprints of one document, or None when the
+    JVM plan would produce no rows (len < k, or fewer hashes than w)."""
+    n = len(t)
+    m = n - k + 1
+    if m < w:
+        return None
+    hs = np.empty(m, dtype=np.int64)
+    from_bytes = int.from_bytes
+    h = _md5
+    tb = t.encode("utf-8")
+    if len(tb) == n:  # ASCII: byte slices == code-point slices
+        for i in range(m):
+            hs[i] = from_bytes(h(tb[i : i + k]).digest()[8:16], "big") & _MASK60
+    else:
+        for i in range(m):
+            hs[i] = (
+                from_bytes(h(t[i : i + k].encode("utf-8")).digest()[8:16], "big")
+                & _MASK60
+            )
+    # min over each length-w window of consecutive gram hashes
+    wm = np.minimum.reduce([hs[i : m - w + 1 + i] for i in range(w)])
+    return np.unique(wm)
+
+
+def winnow_fingerprints_arrow(docs, k, w, id_col, text_col):
+    """(id, fingerprint) — bit-identical to the JVM expression form of
+    operators.winnow.winnow_fingerprints(hash_mode='portable')."""
+    from pyspark.sql import types as T
+
+    sel = spread_unsplittable(docs.select(id_col, text_col))
+    out_schema = T.StructType(
+        [
+            sel.schema.fields[0],
+            T.StructField("fingerprint", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            counts = np.zeros(b.num_rows, dtype=np.int64)
+            parts = []
+            for j, t in enumerate(texts):
+                if t is None:
+                    continue
+                u = _winnow_doc(t, k, w)
+                if u is None:
+                    continue
+                counts[j] = len(u)
+                parts.append(u)
+            idx = np.repeat(np.arange(b.num_rows), counts)
+            fps = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0).take(pa.array(idx)), pa.array(fps, type=pa.int64())],
+                names=[id_col, "fingerprint"],
+            )
+
+    return sel.mapInArrow(gen, out_schema)
+
+
+def _doc_grams(t: str, n: int) -> list[str]:
+    """Word-n-grams WITH multiplicity — twin of operators.dedup
+    ._gram_arrays (split on single space keeps empty tokens; join with
+    single space == concat_ws)."""
+    toks = t.split(" ")
+    g = len(toks) - n + 1
+    if g <= 0:
+        return []
+    join = " ".join
+    return [join(toks[i : i + n]) for i in range(g)]
+
+
+def bucketed_grams_arrow(docs, n, n_buckets, id_col, text_col):
+    """(id, bucket) one row per gram occurrence — twin of operators.dsir
+    ._bucketed_grams(hash_mode='portable')."""
+    from pyspark.sql import types as T
+
+    sel = spread_unsplittable(docs.select(id_col, text_col))
+    out_schema = T.StructType(
+        [sel.schema.fields[0], T.StructField("bucket", T.LongType(), False)]
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        low60 = md5_low60
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            counts = np.zeros(b.num_rows, dtype=np.int64)
+            parts = []
+            for j, t in enumerate(texts):
+                if t is None:
+                    continue
+                grams = _doc_grams(t, n)
+                if not grams:
+                    continue
+                counts[j] = len(grams)
+                parts.append(
+                    np.fromiter(
+                        (low60(g.encode("utf-8")) % n_buckets for g in grams),
+                        dtype=np.int64,
+                        count=len(grams),
+                    )
+                )
+            idx = np.repeat(np.arange(b.num_rows), counts)
+            bk = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0).take(pa.array(idx)), pa.array(bk, type=pa.int64())],
+                names=[id_col, "bucket"],
+            )
+
+    return sel.mapInArrow(gen, out_schema)
+
+
+def minhash_signatures_portable_arrow(docs, params, n, id_col, text_col):
+    """(id, mh_0..mh_{K-1}) — twin of the portable MinHash signature
+    aggregation in operators.dedup.minhash_lsh_dedup_portable: base =
+    md5_low60(gram) % M31 over DISTINCT word-n-grams, mh_i =
+    min((a_i*base+b_i) % M31). Docs with no grams emit no row (the
+    groupBy over zero exploded rows produced none)."""
+    from pyspark.sql import types as T
+
+    from docling_pdf_spark.operators.dedup import MERSENNE31
+
+    sel = spread_unsplittable(docs.select(id_col, text_col))
+    k = len(params)
+    out_schema = T.StructType(
+        [sel.schema.fields[0]]
+        + [T.StructField(f"mh_{i}", T.LongType(), False) for i in range(k)]
+    )
+    a_arr = np.array([a for a, _ in params], dtype=np.int64).reshape(-1, 1)
+    b_arr = np.array([b for _, b in params], dtype=np.int64).reshape(-1, 1)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        low60 = md5_low60
+        m31 = MERSENNE31
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            keep = []
+            sigs = []
+            for j, t in enumerate(texts):
+                if t is None:
+                    continue
+                grams = set(_doc_grams(t, n))
+                if not grams:
+                    continue
+                base = np.fromiter(
+                    (low60(g.encode("utf-8")) % m31 for g in grams),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                # a*base < 2^31 * 2^31 = 2^62: no int64 overflow
+                sigs.append(((a_arr * base + b_arr) % m31).min(axis=1))
+                keep.append(j)
+            ids = b.column(0).take(pa.array(np.asarray(keep, dtype=np.int64)))
+            mat = (
+                np.stack(sigs) if sigs else np.empty((0, k), dtype=np.int64)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids] + [pa.array(mat[:, i], type=pa.int64()) for i in range(k)],
+                names=[id_col] + [f"mh_{i}" for i in range(k)],
+            )
+
+    return sel.mapInArrow(gen, out_schema)
+
+
+def simhash_fingerprints_portable_arrow(docs, n_bits, id_col, text_col):
+    """(id, simhash) — twin of operators.dedup
+    .simhash_fingerprints_portable: per-token md5_low60, each of the low
+    n_bits votes ±1 (multiplicity kept), bit set iff vote sum > 0. Docs
+    whose tokenization yields only empty strings emit no row."""
+    from pyspark.sql import types as T
+
+    sel = spread_unsplittable(docs.select(id_col, text_col))
+    out_schema = T.StructType(
+        [sel.schema.fields[0], T.StructField("simhash", T.LongType(), False)]
+    )
+    bit_idx = np.arange(n_bits, dtype=np.uint64)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        low60 = md5_low60
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            keep = []
+            fps = []
+            for j, t in enumerate(texts):
+                if t is None:
+                    continue
+                toks = [w for w in _JAVA_WS.split(t) if w != ""]
+                if not toks:
+                    continue
+                hs = np.fromiter(
+                    (low60(w.encode("utf-8")) for w in toks),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                ones = ((hs[:, None] >> bit_idx) & 1).sum(axis=0, dtype=np.int64)
+                votes = 2 * ones - len(toks)
+                fp = int(((votes > 0).astype(np.uint64) << bit_idx).sum())
+                keep.append(j)
+                fps.append(fp)
+            ids = b.column(0).take(pa.array(np.asarray(keep, dtype=np.int64)))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(np.asarray(fps, dtype=np.int64), type=pa.int64())],
+                names=[id_col, "simhash"],
+            )
+
+    return sel.mapInArrow(gen, out_schema)
+
+
+# ---------------- repetition signals (operators/quality.py) ----------
+
+_RE_LINE = re.compile(r"\n")
+_RE_PARA = re.compile(r"\n{2,}")
+
+
+def _dup_frac_py(units):
+    """Python twin of quality._dup_fraction's per-doc aggregate: share
+    of non-blank units (Spark trim == strip of 0x20 only) whose value
+    occurs 2+ times; None when no unit qualifies (the JVM groupBy
+    emitted no row → LEFT JOIN null → coalesce downstream)."""
+    counts: dict[str, int] = {}
+    for u in units:
+        if u.strip(" ") != "":
+            counts[u] = counts.get(u, 0) + 1
+    if not counts:
+        return None
+    total = 0
+    dup = 0
+    for c in counts.values():
+        total += c
+        if c >= 2:
+            dup += c
+    return dup / total
+
+
+def _top_gram_frac_py(toks, n):
+    """Python twin of the top-n-gram fraction: max gram count / total
+    gram slots over space-joined word n-grams; None when < n tokens."""
+    g = len(toks) - n + 1
+    if g <= 0:
+        return None
+    counts: dict[str, int] = {}
+    join = " ".join
+    for i in range(g):
+        k = join(toks[i : i + n])
+        counts[k] = counts.get(k, 0) + 1
+    return max(counts.values()) / g
+
+
+def repetition_stats_arrow(docs, id_col, text_col, signals, gram_n):
+    """(id, <signal raw double...>) — one narrow Arrow stage computing
+    every requested Gopher repetition signal per document. The JVM form
+    ran one explode → groupBy(id, unit) → groupBy(id) shuffle pair PER
+    SIGNAL plus a 5-way join — but every signal is a within-document
+    statistic, so no row ever needed to leave its partition (guide
+    §2.4). Values are the raw unrounded doubles (integer counts and one
+    IEEE division — bit-identical to the JVM aggregate); rounding and
+    the 0.0 coalesce stay in the caller's JVM projection."""
+    from pyspark.sql import types as T
+
+    sel = spread_unsplittable(docs.select(id_col, text_col))
+    out_schema = T.StructType(
+        [sel.schema.fields[0]]
+        + [T.StructField(s, T.DoubleType(), True) for s in signals]
+    )
+    want_line = "dup_line_frac" in signals
+    want_para = "dup_para_frac" in signals
+    grams = [(s, gram_n[s]) for s in signals if s in gram_n]
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            cols: dict[str, list] = {s: [] for s in signals}
+            for t in texts:
+                if t is None:
+                    for s in signals:
+                        cols[s].append(None)
+                    continue
+                if want_line:
+                    cols["dup_line_frac"].append(_dup_frac_py(_RE_LINE.split(t)))
+                if want_para:
+                    cols["dup_para_frac"].append(_dup_frac_py(_RE_PARA.split(t)))
+                if grams:
+                    toks = [w for w in _JAVA_WS.split(t.strip(" ")) if w != ""]
+                    for s, n in grams:
+                        cols[s].append(_top_gram_frac_py(toks, n))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0)]
+                + [pa.array(cols[s], type=pa.float64()) for s in signals],
+                names=[id_col] + list(signals),
+            )
+
+    return sel.mapInArrow(gen, out_schema)

@@ -79,7 +79,16 @@ def _gram_arrays(
     corpus with one 12.6k-token doc) when the input text was computed
     rather than scanned. Same lesson class as the d1024 embedder fix:
     a plan test pins shuffle structure, not expression-evaluation
-    cost."""
+    cost.
+
+    Round 7: the pruned (id, text) projection is spread when the scan
+    is unsplittable (guide §2.5 — the driver corpus is single-row-group
+    parquet, which executes every gram pass as ONE task regardless of
+    split config; scanspread.py no-ops on any layout that can fan out
+    by itself)."""
+    from docling_pdf_spark.functions.scanspread import spread_unsplittable
+
+    docs = spread_unsplittable(docs.select(F.col(id_col), F.col(text_col)))
     toks = F.split(F.col(text_col), " ")
     sz = F.size(toks)
     cnt = F.greatest(sz - (n - 1), F.lit(0))
@@ -307,16 +316,19 @@ def minhash_lsh_dedup_portable(
     signatures (map-side combine), band buckets as collect_list with the
     mega-bucket cap, JVM array pair expansion, exact signature compare
     for the Jaccard estimate."""
-    from docling_pdf_spark.functions.hashing import portable_hash60
+    from docling_pdf_spark.functions.arrowhash import (
+        minhash_signatures_portable_arrow,
+    )
 
     rows = num_hashes // bands
-    base = portable_hash60(F.col("gram")) % MERSENNE31
     params = affine_params(num_hashes)
-    sigs = shingle_strings(docs, id_col, text_col).groupBy(id_col).agg(
-        *[
-            F.min((F.lit(a) * base + F.lit(b)) % MERSENNE31).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(params)
-        ]
+    # round 7: the signature matrix is ONE narrow mapInArrow stage
+    # (functions/arrowhash.py) instead of explode(distinct grams) →
+    # md5-chain per gram → groupBy(id) K-min shuffle: identical values
+    # (pinned by minhash_lsh_portable_oracle_sql), one less corpus
+    # shuffle, ~10× cheaper hashing (guide §4.2)
+    sigs = minhash_signatures_portable_arrow(
+        docs, params, SHINGLE_WORDS, id_col, text_col
     )
     band_structs = F.array(
         *[
@@ -544,7 +556,12 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64, each bit votes ±1,
     fingerprint bit b = 1 iff the vote sum is positive. All 64 votes are
-    one groupBy with 64 sum() aggregates — JVM-side, partial+final."""
+    one groupBy with 64 sum() aggregates — JVM-side, partial+final.
+    Unsplittable scans are spread first (guide §2.5) so the explode and
+    the partial vote aggregation parallelize."""
+    from docling_pdf_spark.functions.scanspread import spread_unsplittable
+
+    docs = spread_unsplittable(docs.select(F.col(id_col), F.col(text_col)))
     tok = docs.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
@@ -574,33 +591,20 @@ SIMHASH_PORTABLE_BITS = 60
 def simhash_fingerprints_portable(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """60-bit SimHash from the engine-portable md5-low-60 token hash —
-    same plan as the fast path (one groupBy, 60 sum() bit votes,
-    partial+final JVM agg), exactly reproducible in DuckDB."""
-    from docling_pdf_spark.functions.hashing import portable_hash60
-
-    tok = docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
-    ).where(F.col("w") != "")
-    h = portable_hash60(F.col("w"))
-    votes = [
-        F.sum(
-            (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-        ).alias(f"v_{b}")
-        for b in range(SIMHASH_PORTABLE_BITS)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
-    fp = reduce(
-        lambda acc, b: acc.bitwiseOR(
-            F.when(F.col(f"v_{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ),
-        range(SIMHASH_PORTABLE_BITS),
-        F.lit(0).cast("long"),
+    """60-bit SimHash from the engine-portable md5-low-60 token hash,
+    exactly reproducible in DuckDB (simhash_portable_oracle_sql pins
+    it). Round 7: computed as ONE narrow mapInArrow stage
+    (functions/arrowhash.py) instead of explode(tokens) → md5 chain →
+    groupBy(id) with 60 sum() votes — identical fingerprints, the
+    per-token shuffle and the 60-aggregate state are gone entirely
+    (guide §4.2)."""
+    from docling_pdf_spark.functions.arrowhash import (
+        simhash_fingerprints_portable_arrow,
     )
-    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+    return simhash_fingerprints_portable_arrow(
+        docs, SIMHASH_PORTABLE_BITS, id_col, text_col
+    )
 
 
 def simhash_portable_oracle_sql(

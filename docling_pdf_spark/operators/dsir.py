@@ -70,7 +70,14 @@ def _bucketed_grams(
     from docling_pdf_spark.operators.dedup import _gram_arrays
 
     if hash_mode == "portable":
-        bucket = portable_hash60(F.col("_g")) % n_buckets
+        # ONE mapInArrow stage (functions/arrowhash.py) computing the
+        # identical md5-low-60 buckets: the JVM form paid the
+        # interpreted-transform gram build plus the md5→hex→conv chain
+        # per gram occurrence (guide §4.2; same round-7 rewrite as
+        # winnow_fingerprints). Exactness pinned by the dsir DuckDB twin.
+        from docling_pdf_spark.functions.arrowhash import bucketed_grams_arrow
+
+        return bucketed_grams_arrow(docs, n, n_buckets, id_col, text_col)
     elif hash_mode == "fast":
         bucket = F.pmod(F.xxhash64(F.col("_g")), F.lit(n_buckets))
     else:

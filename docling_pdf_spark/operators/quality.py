@@ -99,35 +99,21 @@ def repetition_stats(
     unknown = set(signals) - set(ALL_SIGNALS)
     if unknown or not signals:
         raise ValueError(f"signals must be a non-empty subset of {ALL_SIGNALS}")
-    c = F.col(text_col)
-    parts: list[DataFrame] = []
-    if "dup_line_frac" in signals:
-        parts.append(_dup_fraction(docs, id_col, F.split(c, r"\n"), "dup_line_frac"))
-    if "dup_para_frac" in signals:
-        parts.append(
-            _dup_fraction(docs, id_col, F.split(c, r"\n{2,}"), "dup_para_frac")
-        )
-    gram_signals = [s for s in ALL_SIGNALS if s in signals and s in _TOP_GRAM_N]
-    if gram_signals:
-        arr = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
-        a = F.col("_arr")
-        toks = docs.select(F.col(id_col), arr.alias("_arr"))
-        for sig in gram_signals:
-            n = _TOP_GRAM_N[sig]
-            grams = toks.where(F.size(a) >= n).select(
-                F.col(id_col), F.explode(_word_ngrams(a, n)).alias("g")
-            )
-            parts.append(
-                grams.groupBy(id_col, "g")
-                .agg(F.count("*").alias("c"))
-                .groupBy(id_col)
-                .agg((F.max("c") / F.sum("c")).alias(sig))
-            )
-    out = docs.select(id_col)
-    for p in parts:
-        out = out.join(p, id_col, "left")
-    ordered = [s for s in ALL_SIGNALS if s in signals]
-    return out.select(
+    # Round 7 (guide §2.4): every signal is a WITHIN-document statistic,
+    # yet the original plan ran one explode → groupBy(id, unit) →
+    # groupBy(id) shuffle pair per signal plus a |signals|-way left
+    # join — five corpus shuffles for numbers no row ever needed to
+    # leave its partition for. One narrow Arrow stage
+    # (functions/arrowhash.py) computes the identical raw fractions
+    # (integer counts + one IEEE division); the rounding and the 0.0
+    # "nothing repeats in nothing" coalesce stay here, JVM-side, so the
+    # output contract is unchanged (pinned by the repetition_stats
+    # DuckDB twin).
+    from docling_pdf_spark.functions.arrowhash import repetition_stats_arrow
+
+    ordered = tuple(s for s in ALL_SIGNALS if s in signals)
+    raw = repetition_stats_arrow(docs, id_col, text_col, ordered, _TOP_GRAM_N)
+    return raw.select(
         id_col,
         *[
             F.round(F.coalesce(F.col(n), F.lit(0.0)), 6).alias(n)

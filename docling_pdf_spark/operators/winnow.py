@@ -53,8 +53,22 @@ def winnow_fingerprints(
 
     hash_mode 'portable' (default): md5-low-60 — DuckDB computes the
     identical value, so the driver query is exactly oracle-checked.
-    'fast': xxhash64 (~35% faster) — same selection structure, use it
-    when nothing external needs to reproduce the hashes."""
+    Since round 7 the portable mode executes as ONE mapInArrow stage
+    (functions/arrowhash.py): the JVM form evaluated the md5→hex→conv
+    chain inside an interpreted transform() lambda at ~3-5 µs/gram;
+    the Arrow kernel computes the identical fingerprints at ~0.5
+    µs/gram and keeps the zero-Exchange scan-speed shape (~10× at
+    sf1.0). 'fast': xxhash64 — same selection structure JVM-side, use
+    it when nothing external needs to reproduce the hashes."""
+    if hash_mode == "portable":
+        from docling_pdf_spark.functions.arrowhash import winnow_fingerprints_arrow
+
+        return winnow_fingerprints_arrow(docs, k, w, id_col, text_col)
+    from docling_pdf_spark.functions.scanspread import spread_unsplittable
+
+    # fast mode stays JVM; spread unsplittable scans so the interpreted
+    # transform() gram hashing parallelizes (guide §2.5)
+    docs = spread_unsplittable(docs.select(F.col(id_col), F.col(text_col)))
     text = F.col(text_col)
     gram_starts = F.when(
         F.length(text) >= k,

@@ -54,6 +54,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t plus the unsplittable-scan spread (guide §2.5): used by the
+    bench-headline queries whose per-row compute (regex, hashing, array
+    work, wide partial aggregation) dominates the scan — the driver
+    corpus is single-row-group parquet, which otherwise executes the
+    whole map side as ONE task. No-op on any input that can fan out by
+    itself (see functions/scanspread.py), and column pruning pushes the
+    narrow projection below the inserted round-robin exchange, so the
+    shuffle carries only the columns the query reads."""
+    from docling_pdf_spark.functions.scanspread import spread_unsplittable
+
+    return spread_unsplittable(_t(spark, sf_dir, name))
+
+
 # =====================================================================
 # Extraction-analog relational operators (SURVEY.md §2a/2b)
 # =====================================================================
@@ -99,24 +113,36 @@ def q_pagination_50(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12 relational formulation: fixed-size re-chunking of a document
     into 50-token pages (pdf_extractor.py:413-442 does 50 lines of
     markdown; the driver corpus has no newlines so tokens stand in for
-    lines). posexplode → floor(pos/50) → ordered re-assembly."""
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    lines).
+
+    Round 7 (guide §2.4): the original posexplode → shuffle →
+    array_sort(collect_list) re-assembly exchanged one row PER TOKEN
+    (the whole corpus re-keyed by (doc_id, page)) only to glue the
+    tokens straight back together. Pages of a doc are just slices of
+    its token array, so the whole query is a narrow projection: explode
+    the page indices, slice the token array per page — zero Exchange,
+    identical rows (page_number = floor(pos/50) ⟺ contiguous 50-token
+    slices; token_count = min(50, n_tokens − 50·page))."""
+    docs = _t_spread(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size("_toks")
+    pages = docs.select("doc_id", toks.alias("_toks")).select(
+        "doc_id",
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.floor((n - 1) / F.lit(50)))
+        ).alias("page_number"),
     )
-    page = tok.withColumn("page_number", F.floor(F.col("pos") / 50))
-    return (
-        page.groupBy("doc_id", "page_number")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("content"),
-            F.count("*").alias("token_count"),
-        )
+    return pages.select(
+        "doc_id",
+        "page_number",
+        F.array_join(
+            F.slice("_toks", (F.col("page_number") * 50 + 1).cast("int"), 50), " "
+        ).alias("content"),
+        F.least(
+            F.lit(50).cast("long"),
+            F.size("_toks").cast("long") - F.col("page_number") * 50,
+        ).alias("token_count"),
     )
 
 
@@ -317,7 +343,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregate over the events stream table (the batch
     equivalent of a tumbling 1h window; streaming variant in
     docling_pdf_spark.streaming)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_spread(spark, sf_dir, "events")
     return (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"),
@@ -497,7 +523,7 @@ LIMIT 10
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, mean token length, digit ratio —
     all JVM-side string expressions (no UDF)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
     toks = token_count("text")
     return docs.select(
         "doc_id",
@@ -527,7 +553,7 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (driver brief: 'whitespace + a BPE-ish
     regex'): pretokenizer-match count alongside the whitespace count —
     both JVM-side regexp expressions."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         bpe_token_count("text").alias("n_bpe_tokens"),
@@ -546,7 +572,7 @@ FROM documents
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the casefolded, punctuation-
     stripped text (the normalize-then-hash half of rolling-hash dedup)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
     return docs.select("doc_id", normalized_fingerprint("text").alias("fingerprint"))
 
 
@@ -560,7 +586,7 @@ def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: stopword-hit voting via replace-and-measure
     (pure string ops both sides; a real n-gram model would be a lookup
     join against an n-gram frequency dim table — same plan shape)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents")
 
     def hits(word: str):
         return stopword_hits("text", word)
@@ -878,7 +904,7 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per event type (F.percentile uses linear
     interpolation — same definition as DuckDB quantile_cont)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_spread(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
@@ -900,7 +926,7 @@ def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot coverage: per-user event-type count matrix. The pivot value
     list is EXPLICIT (no extra distinct-scan job; at scale an implicit
     pivot runs a full pre-pass to discover values)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t_spread(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
     pv = ev.groupBy("user_id").pivot("event_type", types).count()
     return pv.select(

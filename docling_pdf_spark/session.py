@@ -71,7 +71,20 @@ def get_spark(
         "spark.sql.shuffle.partitions": str(shuffle_partitions or SHUFFLE_PARTITIONS),
         # small-file world: split scans finer than the 128m default so
         # single-file inputs still fan out across all cores
-        "spark.sql.files.maxPartitionBytes": "16m",
+        "spark.sql.files.maxPartitionBytes": os.environ.get(
+            "SPARK_MAX_PARTITION_BYTES", "16m"
+        ),
+        # scan-split floor: each file is charged openCostInBytes before
+        # packing into splits, so the 4m default caps a small table at
+        # totalBytes/4m tasks (a 6 MB parquet scans 2-way on 32 cores
+        # and every downstream narrow stage inherits that). 256k lets
+        # split sizing follow max(openCost, bytes/minPartitionNum) —
+        # scale-adaptive: large inputs still split at maxPartitionBytes,
+        # small inputs fan out to the core count. Production clusters
+        # with remote storage can raise it back via env.
+        "spark.sql.files.openCostInBytes": os.environ.get(
+            "SPARK_OPEN_COST_BYTES", str(256 * 1024)
+        ),
         # shuffle spill dir: tmpfs when available (single-node stand-in
         # for the per-node NVMe a real cluster gives each executor)
         "spark.local.dir": os.environ.get(

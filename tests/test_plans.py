@@ -83,18 +83,33 @@ def test_no_python_in_relational_plans(spark, fn):
 
 
 def test_narrow_ops_have_no_shuffle_or_python(spark):
-    """winnow_fingerprints and deterministic_split are pure per-row
-    array/hash expressions: their plans must be scan → project/explode
-    with no Exchange and no Python stage (at 100 TB these run at scan
-    speed, embarrassingly parallel)."""
-    from docling_pdf_spark.queries import q_deterministic_split, q_winnow_fingerprints
+    """deterministic_split is a pure per-row hash expression: its plan
+    must be scan → project with no Exchange and no Python stage (at
+    100 TB it runs at scan speed, embarrassingly parallel)."""
+    from docling_pdf_spark.queries import q_deterministic_split
     from docling_pdf_spark.plans import formatted_plan
 
-    for fn in (q_winnow_fingerprints, q_deterministic_split):
-        plan = formatted_plan(fn(spark, SF_DIR))
-        assert "Exchange" not in plan, fn.__name__
-        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "MapInArrow"):
-            assert marker not in plan, fn.__name__
+    plan = formatted_plan(q_deterministic_split(spark, SF_DIR))
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "MapInArrow"):
+        assert marker not in plan
+
+
+def test_winnow_is_one_narrow_arrow_stage(spark):
+    """winnow_fingerprints (round 7): ONE MapInArrow batch stage
+    computing the portable md5-low-60 gram kernel natively — the JVM
+    expression form paid ~3-5 µs/gram inside an interpreted transform()
+    lambda. Still embarrassingly parallel: no hash/range partitioning
+    anywhere (the only Exchange permitted is the round-robin
+    unsplittable-scan spread of guide §2.5), no row-at-a-time Python."""
+    from docling_pdf_spark.queries import q_winnow_fingerprints
+    from docling_pdf_spark.plans import formatted_plan
+
+    plan = formatted_plan(q_winnow_fingerprints(spark, SF_DIR))
+    assert "MapInArrow" in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
 
 
 def test_regional_revenue_broadcasts_all_dims(spark):

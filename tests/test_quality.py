@@ -80,15 +80,21 @@ def test_repetition_stats_matches_duckdb(spark):
         assert (sdf[col] - ddf[col]).abs().max() < 1e-9, col
 
 
-def test_repetition_stats_plan_is_jvm_only(spark):
+def test_repetition_stats_plan_is_one_narrow_arrow_stage(spark):
+    """Round 7: every signal is a within-document statistic, so the
+    plan is ONE MapInArrow batch stage with no aggregation shuffle at
+    all — the former JVM form paid an explode → groupBy(id, unit) →
+    groupBy(id) exchange pair PER SIGNAL plus a 5-way join. The only
+    Exchange allowed is the round-robin unsplittable-scan spread
+    (guide §2.5), never a hashpartitioning."""
     from docling_pdf_spark.operators.quality import repetition_stats
     from docling_pdf_spark.plans import formatted_plan
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = formatted_plan(repetition_stats(docs))
-    assert "Python" not in plan
-    # the per-(doc, unit) dup counts must carry a map-side combine
-    assert "partial_count" in plan
+    assert "MapInArrow" in plan
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
 
 
 def test_curate_repetition_gate_drops_boilerplate(spark, tmp_path):
