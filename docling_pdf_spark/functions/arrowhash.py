@@ -356,3 +356,159 @@ def repetition_stats_arrow(docs, id_col, text_col, signals, gram_n):
             )
 
     return sel.mapInArrow(gen, out_schema)
+
+
+# ---------------- XXH64 (Spark F.xxhash64 twin, seed 42) -------------
+#
+# Public XXH64 spec (Collet; same algorithm Spark's XxHash64 expression
+# implements over the UTF-8 bytes with seed 42). Used by the winnow
+# fast-mode kernel: the fixed k-byte gram case vectorizes fully in
+# numpy uint64 (wrapping arithmetic == mod-2^64 by construction).
+
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64_bytes(data: bytes, seed: int = 42) -> int:
+    """Scalar XXH64 (signed-long bit pattern, matching F.xxhash64)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            for k, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 8 * k : i + 8 * k + 8], "little")
+                v = (v + lane * _XP2) & _M64
+                v = (_rotl(v, 31) * _XP1) & _M64
+                if k == 0:
+                    v1 = v
+                elif k == 1:
+                    v2 = v
+                elif k == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        acc = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            acc ^= (_rotl((v * _XP2) & _M64, 31) * _XP1) & _M64
+            acc = ((acc * _XP1) + _XP4) & _M64
+    else:
+        acc = (seed + _XP5) & _M64
+    acc = (acc + n) & _M64
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        acc ^= (_rotl((lane * _XP2) & _M64, 31) * _XP1) & _M64
+        acc = ((_rotl(acc, 27) * _XP1) + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        acc ^= (lane * _XP1) & _M64
+        acc = ((_rotl(acc, 23) * _XP2) + _XP3) & _M64
+        i += 4
+    while i < n:
+        acc ^= (data[i] * _XP5) & _M64
+        acc = (_rotl(acc, 11) * _XP1) & _M64
+        i += 1
+    acc ^= acc >> 33
+    acc = (acc * _XP2) & _M64
+    acc ^= acc >> 29
+    acc = (acc * _XP3) & _M64
+    acc ^= acc >> 32
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+def _xxh64_lanes8(lanes, seed: int = 42):
+    """Vectorized XXH64 of many 8-byte messages given as a uint64 LE
+    lane array — the small-input path (len=8 < 32) of the spec."""
+    with np.errstate(over="ignore"):
+        p1 = np.uint64(_XP1)
+        p2 = np.uint64(_XP2)
+        acc = np.full_like(lanes, np.uint64((seed + _XP5 + 8) & _M64))
+        k1 = lanes * p2
+        k1 = ((k1 << np.uint64(31)) | (k1 >> np.uint64(33))) * p1
+        acc ^= k1
+        acc = ((acc << np.uint64(27)) | (acc >> np.uint64(37))) * p1 + np.uint64(
+            _XP4
+        )
+        acc ^= acc >> np.uint64(33)
+        acc *= p2
+        acc ^= acc >> np.uint64(29)
+        acc *= np.uint64(_XP3)
+        acc ^= acc >> np.uint64(32)
+    return acc.view(np.int64)
+
+
+def _winnow_doc_fast(t: str, k: int, w: int):
+    """Fast-mode (xxhash64, seed 42 — F.xxhash64's default) twin of
+    _winnow_doc. ASCII docs vectorize (k-byte grams -> uint64 lanes);
+    others fall back to the scalar spec implementation per gram."""
+    n = len(t)
+    m = n - k + 1
+    if m < w:
+        return None
+    tb = t.encode("utf-8")
+    if len(tb) == n and k == 8:
+        a = np.frombuffer(tb, dtype=np.uint8).astype(np.uint64)
+        lanes = np.zeros(m, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(8):
+                lanes |= a[i : i + m] << np.uint64(8 * i)
+        hs = _xxh64_lanes8(lanes)
+    else:
+        hs = np.fromiter(
+            (xxh64_bytes(t[i : i + k].encode("utf-8")) for i in range(m)),
+            dtype=np.int64,
+            count=m,
+        )
+    wm = np.minimum.reduce([hs[i : m - w + 1 + i] for i in range(w)])
+    return np.unique(wm)
+
+
+def winnow_fingerprints_fast_arrow(docs, k, w, id_col, text_col):
+    """(id, fingerprint) — bit-identical to the JVM expression form of
+    operators.winnow.winnow_fingerprints(hash_mode='fast')."""
+    from pyspark.sql import types as T
+
+    sel = spread_unsplittable(docs.select(id_col, text_col))
+    out_schema = T.StructType(
+        [
+            sel.schema.fields[0],
+            T.StructField("fingerprint", T.LongType(), False),
+        ]
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            counts = np.zeros(b.num_rows, dtype=np.int64)
+            parts = []
+            for j, t in enumerate(texts):
+                if t is None:
+                    continue
+                u = _winnow_doc_fast(t, k, w)
+                if u is None:
+                    continue
+                counts[j] = len(u)
+                parts.append(u)
+            idx = np.repeat(np.arange(b.num_rows), counts)
+            fps = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0).take(pa.array(idx)), pa.array(fps, type=pa.int64())],
+                names=[id_col, "fingerprint"],
+            )
+
+    return sel.mapInArrow(gen, out_schema)

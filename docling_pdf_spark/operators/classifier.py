@@ -75,6 +75,14 @@ def train_quality_classifier(
         ),
         id_col,
     )
+    # the exemplar set is small by construction, but it arrives here on
+    # shuffle-partition-count partitions — and every L-BFGS iteration
+    # is a treeAggregate job over them, so 100 iterations × 32 near-
+    # empty tasks is pure scheduling overhead (measured 10.8 s for a
+    # 5k-row fit; ~4 partitions: ~3 s). coalesce, don't repartition:
+    # no extra shuffle, and at a genuinely large exemplar set 4
+    # partitions still hold it comfortably.
+    feats = feats.coalesce(4)
     lr = LogisticRegression(
         featuresCol="features",
         labelCol="label",

@@ -146,6 +146,17 @@ def token_budget_mix(
 
     # one row per stratum: the unpartitioned window is bounded by the
     # number of strata, not documents (see module docstring)
+    #
+    # Exactness caveat (round-6 advice, low): the water-filling sort
+    # key capacity/weight is evaluated in float64 on BOTH engines (the
+    # DuckDB twin uses the identical double expression, so the twins
+    # can never disagree). Two strata whose distinct exact ratios
+    # collide in double fall back to the stratum-name tiebreak, which
+    # can order them against the true rational order — in that
+    # measure-zero case the allocation is still a valid water-filling
+    # split of the budget, but the "saturated rows form an exact ratio
+    # prefix" property holds w.r.t. the double-rounded ratio, not the
+    # exact one.
     ratio_order = [
         (F.col("capacity_tokens") / F.col("weight")).asc(),
         F.col("stratum").asc(),
@@ -185,10 +196,23 @@ def token_budget_mix(
         .over(whole)
         .alias("_satw"),
     )
-    # floor(rem * weight / remw) without int64 overflow: split quotient
+    # floor(rem * weight / remw) without int64 overflow: integral
+    # quotient split. weight <= remw for every non-saturated row (both
+    # are drawn from the same unsaturated weight sum), so the first
+    # term and the final result fit int64 — but the cross term
+    # (rem % remw) * weight reaches ~1e30 under the advertised
+    # MAX_WEIGHT_TOTAL (1e15), overflowing int64 inside the supported
+    # domain (round-6 advice, medium). It is computed in decimal
+    # (16+16 digits -> precision 33 <= 38); DIV on decimals performs
+    # exact integral division and returns BIGINT, so in-range results
+    # are bit-identical to the old int64 arithmetic.
     floor_alloc = (
         F.expr("(_b - _satcap) DIV (_totw - _satw)") * F.col("weight")
-        + F.expr("((_b - _satcap) % (_totw - _satw)) * weight DIV (_totw - _satw)")
+        + F.expr(
+            "(CAST((_b - _satcap) % (_totw - _satw) AS DECIMAL(16,0))"
+            " * CAST(weight AS DECIMAL(16,0)))"
+            " DIV CAST(_totw - _satw AS DECIMAL(16,0))"
+        )
     )
     return (
         t.withColumn("_b", b)

@@ -12,22 +12,27 @@ no corpus-wide single-task sort.
 
 THE MATERIALIZE INVARIANT (correctness-critical, review-found on the
 mixer): the offsets branch and the per-row branch both consume the
-bucketed rows, forking the lineage ABOVE the range exchange. On
-shuffle-rooted input (a join/aggregate upstream) the two branches
-would re-evaluate the exchange independently, and a nondeterministic
-upstream (shuffle fetch order, AQE partition coalescing) can make the
-two RangePartitioners sample DIFFERENT boundaries — disagreeing
-`_bucket` ids silently corrupt every downstream prefix sum. So by
-default the bucketed rows are localCheckpointed (lazily): both
-branches then read ONE materialized bucket assignment, and a lost
-checkpoint block fails LOUDLY instead of diverging silently. Pass
-materialize=False only for deterministically re-computable input (a
-parquet scan, an already-persisted frame), where both evaluations
-provably sample identical boundaries (same per-input-partition
-deterministic sample seed, same key columns, same scan splits) — that
-skips the one-pass materialization cost and lets the second branch be
-column-pruned. Any future change to this invariant applies to BOTH
-call sites by construction — that is why this module exists.
+bucketed rows, forking the lineage ABOVE the range exchange. If the
+two branches re-evaluated the exchange independently, the two
+RangePartitioners could sample DIFFERENT boundaries — disagreeing
+`_bucket` ids silently corrupt every downstream prefix sum. The
+bucketed rows are therefore ALWAYS localCheckpointed (lazily): both
+branches read ONE materialized bucket assignment, and a lost
+checkpoint block fails LOUDLY instead of diverging silently.
+
+Round 7 removed the materialize=False fast path entirely (round-6
+advice, medium): its safety claim — "a parquet scan re-computes
+deterministically, so both branches sample identical boundaries" —
+was unsound, because the RangePartitioner's sample seed is derived
+from rdd.id (byteswap32(idx ^ (rdd.id << 16))), not from content,
+and column pruning makes the two branches' exchanges non-identical
+plans, so exchange reuse cannot dedupe them; with partial sampling
+at real scale the branches can pick different boundaries even over a
+byte-identical scan. Small corpora are fully sampled per partition,
+which is exactly why no pinned test could catch it. The parameter is
+retained for API compatibility but no longer disables the
+checkpoint. Any future change to this invariant applies to BOTH call
+sites by construction — that is why this module exists.
 """
 
 from __future__ import annotations
@@ -45,19 +50,21 @@ def bucketize_by_range(
     materialize: bool = True,
 ) -> DataFrame:
     """Range-repartition on `keys` (a deterministic TOTAL order) and
-    tag rows with their range-partition id as `_bucket`. See the
-    module docstring for the `materialize` contract."""
+    tag rows with their range-partition id as `_bucket`. The bucket
+    assignment is ALWAYS frozen with a lazy localCheckpoint — see the
+    module docstring for why the former materialize=False fast path
+    was unsound (`materialize` is accepted for API compatibility and
+    ignored)."""
+    del materialize  # retained for API compatibility; see docstring
     nb = n_buckets or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(nb, *keys)
     # spark_partition_id is nondeterministic-tagged, so Catalyst keeps
     # this projection pinned below any later window's exchange —
     # bucket ids are the RANGE partition ids, ascending with the order
     bucketed = ranged.withColumn(BUCKET_COL, F.spark_partition_id())
-    if materialize:
-        # freeze the bucket assignment once (blocks live on executors;
-        # Spark's ContextCleaner reclaims them when unreferenced)
-        bucketed = bucketed.localCheckpoint(eager=False)
-    return bucketed
+    # freeze the bucket assignment once (blocks live on executors;
+    # Spark's ContextCleaner reclaims them when unreferenced)
+    return bucketed.localCheckpoint(eager=False)
 
 
 def bucket_offsets(

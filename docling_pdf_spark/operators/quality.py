@@ -193,7 +193,11 @@ def line_shape_stats(
     """(id, symbol_word_ratio, bullet_line_frac, ellipsis_line_frac)
     per doc — the stats-table form of the three expression signals
     (for observability / threshold tuning; the curate gates use the
-    column functions directly as filter predicates)."""
+    column functions directly as filter predicates). Unsplittable scans
+    are spread first (guide §2.5) — the per-row regex work dominates."""
+    from docling_pdf_spark.functions.scanspread import spread_unsplittable
+
+    docs = spread_unsplittable(docs.select(F.col(id_col), F.col(text_col)))
     c = F.col(text_col)
     return docs.select(
         F.col(id_col),

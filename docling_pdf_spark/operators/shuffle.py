@@ -25,11 +25,12 @@ total order, same ranks.
 
 The bucket/offset scaffolding (and the correctness-critical
 materialize invariant that freezes the bucket assignment against
-shuffle-rooted-input divergence) is SHARED with the mixer — one
-kernel, `operators/prefixsum.py`; see its module docstring for the
-full contract. Pass materialize=False for deterministically
-re-computable input (a parquet scan) to skip the materialization
-pass.
+range-boundary divergence between the two consuming branches) is
+SHARED with the mixer — one kernel, `operators/prefixsum.py`; see its
+module docstring for the full contract. Since round 7 the bucket
+assignment is always checkpointed; the `materialize` parameter is
+accepted for API compatibility and ignored (the former fast path's
+soundness argument did not hold — round-6 advice).
 
 Output ROW order is not the product — the rank COLUMN is. A writer
 that wants the files physically in shuffled order should

@@ -229,80 +229,58 @@ def text_embedding(
     survive there). This is the stand-in embedder that lets embedding-space
     operators (IVF bucketing, cosine near-dup) run end-to-end where no
     model service exists; a real pipeline swaps in model vectors by
-    replacing this single stage."""
+    replacing this single stage. Unsplittable scans are spread first
+    (guide §2.5) so the explode and the partial aggregation
+    parallelize."""
+    from docling_pdf_spark.functions.scanspread import spread_unsplittable
+
+    docs = spread_unsplittable(docs.select(F.col(id_col), F.col(text_col)))
     tok = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
     ).where(F.col("w") != "")
     bucket = F.pmod(F.xxhash64("w"), F.lit(dim)).cast("int")
     sign = (F.pmod(F.xxhash64("w", F.lit(1)), F.lit(2)) * 2 - 1).cast("double")
     per = tok.select(F.col(id_col), bucket.alias("b"), sign.alias("s"))
-    if dim <= 64:
-        # ONE shuffle on the doc id: dim conditional sums (the same
-        # partial+final hash-agg shape as the SimHash bit votes) —
-        # map-side combine reduces the exploded token stream to
-        # |docs|×dim before the exchange (plan-asserted in tests).
-        # Each token row evaluates dim CASEs, so this is only the win
-        # for small dim.
-        m = per.groupBy(id_col).agg(
-            *[
-                F.sum(F.when(F.col("b") == i, F.col("s")).otherwise(0.0)).alias(
-                    f"x{i}"
-                )
-                for i in range(dim)
-            ]
+    # ONE plan for every dim (round 7): the two-shuffle map-rebuild,
+    # whose per-token work is O(1) — groupBy(id, bucket) partial agg,
+    # then one map per doc. The former dim<=64 branch (a single
+    # shuffle carrying dim conditional-sum aggregates) evaluated dim
+    # CASEs per token row and measured 4× SLOWER at dim=64 on the sf1.0
+    # corpus (4.7 s vs 1.1 s) — the per-token work, not the extra tiny
+    # exchange, dominates at every dim. Outputs are bit-identical:
+    # the ±1 votes sum to exact integers in double (< 2^53), so
+    # bucket-grouped and streamed summation agree exactly, as do the
+    # squared norms. The L2 norm is computed IN the aggregate
+    # (norm² = Σ v² over the bucket sums — identical to the
+    # dense-vector norm since absent buckets contribute 0): deriving
+    # it from the dense rebuild instead looks equivalent but is a
+    # measured O(dim²)-per-row trap — CollapseProject inlines the
+    # aggregate-over-dense norm into the normalize lambda,
+    # re-evaluating it per ELEMENT (500 docs at dim=1024: 209 s; this
+    # shape: ~2 s).
+    m = (
+        per.groupBy(id_col, "b")
+        .agg(F.sum("s").alias("v"))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("mm"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("_n"),
         )
-        # .otherwise(0.0) above makes every sum non-null (every grouped
-        # doc has ≥1 token row), so no coalesce is needed here
-        dense = F.array(*[F.col(f"x{i}") for i in range(dim)])
-        norm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x))
-    else:
-        # model-scale dims (256–4096): O(tokens × dim) CASE evaluation
-        # and a dim-wide codegen aggregate would blow up (Janino method
-        # limits), so fall back to the two-shuffle map-rebuild plan
-        # whose per-token work stays O(1): groupBy(id, bucket) partial
-        # agg, then one map per doc. The L2 norm is computed IN the
-        # aggregate (norm² = Σ v² over the bucket sums — identical to
-        # the dense-vector norm since absent buckets contribute 0):
-        # deriving it from the dense rebuild instead looks equivalent
-        # but is a measured O(dim²)-per-row trap — CollapseProject
-        # inlines the aggregate-over-dense norm into the normalize
-        # lambda, re-evaluating it per ELEMENT (500 docs at dim=1024:
-        # 209 s; this shape: ~2 s).
-        m = (
-            per.groupBy(id_col, "b")
-            .agg(F.sum("s").alias("v"))
-            .groupBy(id_col)
-            .agg(
-                F.map_from_entries(F.collect_list(F.struct("b", "v"))).alias("mm"),
-                F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("_n"),
-            )
-        )
-        # build the dense array ONCE, already normalized (_n is a real
-        # aggregate output column — nothing to inline)
-        dense_over_norm = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.coalesce(F.element_at(F.col("mm"), i), F.lit(0.0))
-            / F.col("_n"),
-        )
-        # a doc whose bucket votes fully cancel embeds to the zero
-        # vector; it carries no signal AND every downstream cosine
-        # would divide by its zero norm (ANSI mode → DIVIDE_BY_ZERO
-        # aborts the job), so such docs are excluded here at the source
-        return (
-            m.where(F.col("_n") > 0)
-            .select(F.col(id_col), dense_over_norm.alias("embedding"))
-        )
-    # a doc whose bucket votes fully cancel embeds to the zero vector;
-    # it carries no signal AND every downstream cosine would divide by
-    # its zero norm (ANSI mode → DIVIDE_BY_ZERO aborts the job —
-    # review-found), so such docs are excluded here at the source
+    )
+    # build the dense array ONCE, already normalized (_n is a real
+    # aggregate output column — nothing to inline)
+    dense_over_norm = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("mm"), i), F.lit(0.0))
+        / F.col("_n"),
+    )
+    # a doc whose bucket votes fully cancel embeds to the zero
+    # vector; it carries no signal AND every downstream cosine
+    # would divide by its zero norm (ANSI mode → DIVIDE_BY_ZERO
+    # aborts the job), so such docs are excluded here at the source
     return (
-        m.select(F.col(id_col), dense.alias("d"), norm.alias("n"))
-        .where(F.col("n") > 0)
-        .select(
-            F.col(id_col),
-            F.transform(F.col("d"), lambda x: x / F.col("n")).alias("embedding"),
-        )
+        m.where(F.col("_n") > 0)
+        .select(F.col(id_col), dense_over_norm.alias("embedding"))
     )
 
 

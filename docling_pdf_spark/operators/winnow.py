@@ -38,7 +38,11 @@ from docling_pdf_spark.functions.hashing import portable_hash60
 
 # 'portable' (functions.hashing.portable_hash60, DuckDB-reproducible) is
 # ~35% slower end-to-end than xxhash64 (measured sf0.1)
-_HASHES = {"portable": portable_hash60, "fast": F.xxhash64}
+_HASHES = {
+    "portable": portable_hash60,
+    "fast": F.xxhash64,
+    "jvm-fast": F.xxhash64,  # reference JVM form of 'fast' (see below)
+}
 
 
 def winnow_fingerprints(
@@ -64,10 +68,19 @@ def winnow_fingerprints(
         from docling_pdf_spark.functions.arrowhash import winnow_fingerprints_arrow
 
         return winnow_fingerprints_arrow(docs, k, w, id_col, text_col)
+    if hash_mode == "fast":
+        # fast mode (round 7): numpy-vectorized XXH64 twin of
+        # F.xxhash64 (validated bit-exact against the JVM expression,
+        # incl. non-ASCII via the scalar spec path) — same mapInArrow
+        # shape as portable; the JVM interpreted-transform form below
+        # is kept only for reference/debugging via hash_mode='jvm-fast'
+        from docling_pdf_spark.functions.arrowhash import (
+            winnow_fingerprints_fast_arrow,
+        )
+
+        return winnow_fingerprints_fast_arrow(docs, k, w, id_col, text_col)
     from docling_pdf_spark.functions.scanspread import spread_unsplittable
 
-    # fast mode stays JVM; spread unsplittable scans so the interpreted
-    # transform() gram hashing parallelizes (guide §2.5)
     docs = spread_unsplittable(docs.select(F.col(id_col), F.col(text_col)))
     text = F.col(text_col)
     gram_starts = F.when(

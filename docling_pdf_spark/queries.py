@@ -343,7 +343,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregate over the events stream table (the batch
     equivalent of a tumbling 1h window; streaming variant in
     docling_pdf_spark.streaming)."""
-    ev = _t_spread(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"),
@@ -572,7 +572,7 @@ FROM documents
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the casefolded, punctuation-
     stripped text (the normalize-then-hash half of rolling-hash dedup)."""
-    docs = _t_spread(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", normalized_fingerprint("text").alias("fingerprint"))
 
 
@@ -904,7 +904,7 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per event type (F.percentile uses linear
     interpolation — same definition as DuckDB quantile_cont)."""
-    ev = _t_spread(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
@@ -926,7 +926,7 @@ def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot coverage: per-user event-type count matrix. The pivot value
     list is EXPLICIT (no extra distinct-scan job; at scale an implicit
     pivot runs a full pre-pass to discover values)."""
-    ev = _t_spread(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
     pv = ev.groupBy("user_id").pivot("event_type", types).count()
     return pv.select(

@@ -160,8 +160,12 @@ def curate(
         _bad = (
             spark.read.parquet(quality_exemplars)
             .where(
+                # validate WITHOUT truncation: cast-to-int would floor
+                # a fractional label like 0.9 to 0 and let it pass,
+                # only to crash hours later at LogisticRegression.fit
+                # (round-6 advice, low)
                 F.col("label").isNull()
-                | ~F.col("label").cast("int").isin(0, 1)
+                | ~F.col("label").cast("double").isin(0.0, 1.0)
             )
             .limit(1)
             .count()
@@ -196,6 +200,15 @@ def curate(
     extracted = extract(docs, num_partitions=num_partitions)
     # full_text for the text operators: re-join the text spans (JVM)
     with_text = extracted.withColumn("full_text", _join_text_spans("\n"))
+    # eager --mix-stratum validation (round-6 advice, low): a typo'd
+    # stratum column must fail HERE, before the whole funnel (extract,
+    # dedup, decon, classifier, dsir) has executed and been paid for —
+    # the withColumn inside the mix stage would only raise at the end.
+    if mix_budget is not None and mix_stratum not in with_text.columns:
+        raise ValueError(
+            f"--mix-stratum {mix_stratum!r} is not a column of the "
+            f"extracted frame; available: {sorted(with_text.columns)}"
+        )
     # persist at the extraction boundary: every downstream count and the
     # final write reuse ONE pass of the (dominant-cost) Python UDF stage
     ok = with_text.where(F.col("extraction_successful")).persist()

@@ -779,3 +779,38 @@ def test_curate_exemplar_contracts_fail_fast(spark, tmp_path):
                              "label": [0, 1, 2]}), bad_labels)
     with _pytest.raises(ValueError, match="0 or 1"):
         curate(spark, missing, out, quality_exemplars=bad_labels)
+
+
+def test_curate_fractional_label_rejected(spark, tmp_path):
+    """Round-6 advice (low): the label guard used to cast to int before
+    isin(0, 1), so a fractional label like 0.9 truncated to 0 and
+    passed, then crashed hours later at LogisticRegression.fit. The
+    guard must reject it up front, without truncation."""
+    import pytest as _pytest
+
+    from jobs.curate import curate
+
+    missing = str(tmp_path / "nope.parquet")
+    out = str(tmp_path / "o")
+    frac_labels = str(tmp_path / "frac.parquet")
+    pq.write_table(
+        pa.table({"text": ["a", "b"], "label": [0.9, 1.0]}), frac_labels
+    )
+    with _pytest.raises(ValueError, match="0 or 1"):
+        curate(spark, missing, out, quality_exemplars=frac_labels)
+
+
+def test_curate_mix_stratum_typo_fails_fast(spark, tmp_path):
+    """Round-6 advice (low): a typo'd --mix-stratum column must raise
+    right after extraction, not after the whole funnel has executed."""
+    import pytest as _pytest
+
+    from docling_pdf_spark.fixtures import write_corpus
+    from jobs.curate import curate
+
+    src = str(tmp_path / "docs.parquet")
+    write_corpus(src, 20)
+    out = str(tmp_path / "o")
+    with _pytest.raises(ValueError, match="mix-stratum"):
+        curate(spark, src, out, mix_budget=100,
+               mix_weights={"en": 1}, mix_stratum="prodcuer")

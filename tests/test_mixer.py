@@ -314,3 +314,27 @@ def test_waterfilling_property_random_weights_budgets(spark):
             assert {d for d in kept if d.startswith(f"s{i}-")} == expect
 
     check()
+
+
+def test_floor_split_no_int64_overflow_at_max_weights(spark):
+    """Round-6 advice (medium): with weight totals near the advertised
+    MAX_WEIGHT_TOTAL (1e15), the unsaturated floor split's cross term
+    (rem % remw) * weight reaches ~1e30 — the old int64 arithmetic
+    overflowed inside the supported domain (ANSI throws; non-ANSI
+    silently wraps to wrong allocations). The decimal quotient split
+    must return the exact floor(budget * w / totw)."""
+    from docling_pdf_spark.operators.mixer import token_budget_mix
+
+    wa, wb = 4 * 10**14, 6 * 10**14 - 1
+    budget = 10**12
+    docs = spark.createDataFrame(
+        [("a", 10**12), ("b", 10**12)], "lang string, n_chars long"
+    )
+    plan = {
+        r["stratum"]: r
+        for r in token_budget_mix(docs, {"a": wa, "b": wb}, budget).collect()
+    }
+    totw = wa + wb
+    assert not plan["a"]["saturated"] and not plan["b"]["saturated"]
+    assert plan["a"]["allocation_tokens"] == budget * wa // totw
+    assert plan["b"]["allocation_tokens"] == budget * wb // totw

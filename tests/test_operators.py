@@ -723,3 +723,47 @@ def test_text_embedding_large_dim_path_consistent(spark):
     rows2 = {r["doc_id"]: r["embedding"]
              for r in text_embedding(docs, dim=80).collect()}
     assert rows == rows2
+
+
+def test_xxh64_kernel_matches_spark(spark):
+    """Round 7: the winnow fast mode computes F.xxhash64 in numpy
+    (functions/arrowhash.py). The scalar spec implementation and the
+    vectorized 8-byte-lane path must be bit-identical to the JVM
+    expression on ASCII, unicode, empty, and >32-byte inputs."""
+    import random
+
+    import numpy as np
+
+    from docling_pdf_spark.functions.arrowhash import (
+        _xxh64_lanes8,
+        xxh64_bytes,
+    )
+
+    random.seed(20260822)
+    samples = ["abcdefgh", "", "a", "abcd", "héllo wö", "日本語テキスト",
+               "x" * 31, "y" * 32, "z" * 45, " " * 8]
+    samples += ["".join(random.choice("abcdefgh ") for _ in range(random.randint(0, 60)))
+                for _ in range(40)]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    jvm = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    assert jvm == [xxh64_bytes(s.encode("utf-8")) for s in samples]
+    eight = [s for s in samples if len(s) == 8 and len(s.encode()) == 8]
+    lanes = np.array(
+        [int.from_bytes(s.encode(), "little") for s in eight], dtype=np.uint64
+    )
+    assert list(_xxh64_lanes8(lanes)) == [xxh64_bytes(s.encode()) for s in eight]
+
+
+def test_winnow_fast_arrow_matches_jvm_form(spark):
+    """The fast-mode Arrow kernel must reproduce the JVM interpreted-
+    transform form ('jvm-fast') fingerprint-for-fingerprint, including
+    non-ASCII and sub-window-length documents."""
+    from docling_pdf_spark.operators.winnow import winnow_fingerprints
+
+    rows = [(1, "héllo wörld ünïcode ça va très bien"), (2, ""), (3, "short"),
+            (4, None), (5, "a  b   c    d     e      f"), (6, "12345678"),
+            (7, "12345678901"), (8, "日本語のテキストです。これはテスト。")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = set(map(tuple, winnow_fingerprints(docs, hash_mode="jvm-fast").collect()))
+    arrow = set(map(tuple, winnow_fingerprints(docs, hash_mode="fast").collect()))
+    assert jvm == arrow and len(arrow) > 0
