@@ -512,3 +512,127 @@ def winnow_fingerprints_fast_arrow(docs, k, w, id_col, text_col):
             )
 
     return sel.mapInArrow(gen, out_schema)
+
+
+def _xxh64_fixed_len(mat, seed: int = 42):
+    """Vectorized XXH64 over m same-length byte messages (rows of a
+    (m, L) uint8 matrix) — straight-line spec evaluation per length
+    class; wrapping uint64 arithmetic == the spec's mod-2^64."""
+    m, L = mat.shape
+    u64 = np.uint64
+    p1, p2, p3 = u64(_XP1), u64(_XP2), u64(_XP3)
+    p4, p5 = u64(_XP4), u64(_XP5)
+
+    def le64(cols):
+        lane = np.zeros(m, dtype=np.uint64)
+        for k in range(8):
+            lane |= cols[:, k].astype(np.uint64) << u64(8 * k)
+        return lane
+
+    def rotl(x, r):
+        return (x << u64(r)) | (x >> u64(64 - r))
+
+    with np.errstate(over="ignore"):
+        i = 0
+        if L >= 32:
+            v = [
+                np.full(m, u64((seed + _XP1 + _XP2) & _M64)),
+                np.full(m, u64((seed + _XP2) & _M64)),
+                np.full(m, u64(seed)),
+                np.full(m, u64((seed - _XP1) & _M64)),
+            ]
+            while i + 32 <= L:
+                for k in range(4):
+                    v[k] = rotl(v[k] + le64(mat[:, i + 8 * k : i + 8 * k + 8]) * p2, 31) * p1
+                i += 32
+            acc = rotl(v[0], 1) + rotl(v[1], 7) + rotl(v[2], 12) + rotl(v[3], 18)
+            for k in range(4):
+                acc = (acc ^ (rotl(v[k] * p2, 31) * p1)) * p1 + p4
+        else:
+            acc = np.full(m, u64((seed + _XP5) & _M64))
+        acc = acc + u64(L)
+        while i + 8 <= L:
+            acc = rotl(acc ^ (rotl(le64(mat[:, i : i + 8]) * p2, 31) * p1), 27) * p1 + p4
+            i += 8
+        if i + 4 <= L:
+            lane = np.zeros(m, dtype=np.uint64)
+            for k in range(4):
+                lane |= mat[:, i + k].astype(np.uint64) << u64(8 * k)
+            acc = rotl(acc ^ (lane * p1), 23) * p2 + p3
+            i += 4
+        while i < L:
+            acc = rotl(acc ^ (mat[:, i].astype(np.uint64) * p5), 11) * p1
+            i += 1
+        acc ^= acc >> u64(33)
+        acc *= p2
+        acc ^= acc >> u64(29)
+        acc *= p3
+        acc ^= acc >> u64(32)
+    return acc
+
+
+def xxh64_strings(strs: list[str], seed: int = 42):
+    """uint64 XXH64 of each string's UTF-8 bytes, vectorized by length
+    class (identical values to F.xxhash64 over one string column)."""
+    out = np.empty(len(strs), dtype=np.uint64)
+    by_len: dict[int, tuple[list[int], list[bytes]]] = {}
+    for j, s in enumerate(strs):
+        b = s.encode("utf-8")
+        cls = by_len.setdefault(len(b), ([], []))
+        cls[0].append(j)
+        cls[1].append(b)
+    for L, (idx, bs) in by_len.items():
+        if L == 0:
+            out[idx] = np.uint64(xxh64_bytes(b"", seed) & _M64)
+            continue
+        mat = np.frombuffer(b"".join(bs), dtype=np.uint8).reshape(len(bs), L)
+        out[idx] = _xxh64_fixed_len(mat, seed)
+    return out
+
+
+def simhash_fingerprints_fast_arrow(docs, id_col, text_col):
+    """(id, simhash) — twin of the JVM simhash_fingerprints (fast
+    xxhash64 mode): per-token 64-bit hash, each bit votes ±1
+    (multiplicity kept), bit set iff vote sum > 0. One narrow Arrow
+    stage instead of explode(tokens) → groupBy(id) with 64 sum()
+    aggregates (64 aggregate-buffer updates per token row)."""
+    from pyspark.sql import types as T
+
+    sel = spread_unsplittable(docs.select(id_col, text_col))
+    out_schema = T.StructType(
+        [sel.schema.fields[0], T.StructField("simhash", T.LongType(), False)]
+    )
+    bit_idx = np.arange(64, dtype=np.uint64)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            keep = []
+            fps = []
+            for j, t in enumerate(texts):
+                if t is None:
+                    continue
+                toks = [w for w in _JAVA_WS.split(t) if w != ""]
+                if not toks:
+                    continue
+                hs = xxh64_strings(toks)
+                ones = ((hs[:, None] >> bit_idx) & np.uint64(1)).astype(
+                    np.int64
+                ).sum(axis=0)
+                votes = 2 * ones - len(toks)
+                fp = int(
+                    ((votes > 0).astype(np.uint64) << bit_idx).sum(
+                        dtype=np.uint64
+                    )
+                )
+                keep.append(j)
+                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+            ids = b.column(0).take(pa.array(np.asarray(keep, dtype=np.int64)))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(np.asarray(fps, dtype=np.int64), type=pa.int64())],
+                names=[id_col, "simhash"],
+            )
+
+    return sel.mapInArrow(gen, out_schema)

@@ -565,10 +565,24 @@ def simhash_fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """64-bit SimHash per doc: per-token xxhash64, each bit votes ±1,
-    fingerprint bit b = 1 iff the vote sum is positive. All 64 votes are
-    one groupBy with 64 sum() aggregates — JVM-side, partial+final.
-    Unsplittable scans are spread first (guide §2.5) so the explode and
-    the partial vote aggregation parallelize."""
+    fingerprint bit b = 1 iff the vote sum is positive. Round 7:
+    computed as ONE narrow Arrow stage (functions/arrowhash.py) with a
+    vectorized bit-exact XXH64 twin of F.xxhash64 — the JVM form
+    (kept below as _simhash_fingerprints_jvm for the parity pin) paid
+    64 aggregate-buffer updates per token row through an
+    explode → groupBy shuffle."""
+    from docling_pdf_spark.functions.arrowhash import (
+        simhash_fingerprints_fast_arrow,
+    )
+
+    return simhash_fingerprints_fast_arrow(docs, id_col, text_col)
+
+
+def _simhash_fingerprints_jvm(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Reference JVM expression form of simhash_fingerprints (explode +
+    64 sum() bit votes) — retained for the Arrow-vs-JVM parity test."""
     from docling_pdf_spark.functions.scanspread import spread_unsplittable
 
     docs = spread_unsplittable(docs.select(F.col(id_col), F.col(text_col)))

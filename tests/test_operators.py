@@ -767,3 +767,24 @@ def test_winnow_fast_arrow_matches_jvm_form(spark):
     jvm = set(map(tuple, winnow_fingerprints(docs, hash_mode="jvm-fast").collect()))
     arrow = set(map(tuple, winnow_fingerprints(docs, hash_mode="fast").collect()))
     assert jvm == arrow and len(arrow) > 0
+
+
+def test_simhash_fast_arrow_matches_jvm_form(spark):
+    """Round 7: the fast SimHash fingerprints run through the
+    vectorized XXH64 Arrow kernel; they must be bit-identical to the
+    JVM explode + 64-bit-vote aggregate form, including the sign bit
+    (bit 63), unicode tokens, and tokens >= 32 bytes."""
+    from docling_pdf_spark.operators.dedup import (
+        _simhash_fingerprints_jvm,
+        simhash_fingerprints,
+    )
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog " * 3),
+            (2, ""), (3, None), (4, "   \t  "),
+            (5, "ünïcode tökens münchen 日本語 mixed ascii words"),
+            (6, "supercalifragilisticexpialidocious-" * 2 + " short toks"),
+            (7, "a b c d e f g h i j k l m n o p")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = dict(_simhash_fingerprints_jvm(docs).collect())
+    arrow = dict(simhash_fingerprints(docs).collect())
+    assert jvm == arrow and len(arrow) > 0
