@@ -56,15 +56,23 @@ def bucketize_by_range(
     was unsound (`materialize` is accepted for API compatibility and
     ignored)."""
     del materialize  # retained for API compatibility; see docstring
+    # freeze the bucket assignment once (blocks live on executors;
+    # Spark's ContextCleaner reclaims them when unreferenced)
+    return _ranged_bucketed(df, keys, n_buckets).localCheckpoint(eager=False)
+
+
+def _ranged_bucketed(
+    df: DataFrame, keys: list[Column], n_buckets: int | None = None
+) -> DataFrame:
+    """The pre-checkpoint lineage of bucketize_by_range — split out so
+    plan tests can assert the range-exchange shape that the checkpoint
+    hides behind an ExistingRDD scan."""
     nb = n_buckets or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(nb, *keys)
     # spark_partition_id is nondeterministic-tagged, so Catalyst keeps
     # this projection pinned below any later window's exchange —
     # bucket ids are the RANGE partition ids, ascending with the order
-    bucketed = ranged.withColumn(BUCKET_COL, F.spark_partition_id())
-    # freeze the bucket assignment once (blocks live on executors;
-    # Spark's ContextCleaner reclaims them when unreferenced)
-    return bucketed.localCheckpoint(eager=False)
+    return ranged.withColumn(BUCKET_COL, F.spark_partition_id())
 
 
 def bucket_offsets(

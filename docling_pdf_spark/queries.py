@@ -56,13 +56,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _t_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """_t plus the unsplittable-scan spread (guide §2.5): used by the
-    bench-headline queries whose per-row compute (regex, hashing, array
-    work, wide partial aggregation) dominates the scan — the driver
-    corpus is single-row-group parquet, which otherwise executes the
-    whole map side as ONE task. No-op on any input that can fan out by
-    itself (see functions/scanspread.py), and column pruning pushes the
-    narrow projection below the inserted round-robin exchange, so the
-    shuffle carries only the columns the query reads."""
+    bench-headline queries whose per-row compute (regex, tokenization,
+    array slicing) dominates the scan — the driver corpus is
+    single-row-group parquet, which otherwise executes the whole map
+    side as ONE task. No-op on any input that can fan out by itself
+    (see functions/scanspread.py), and column pruning pushes the narrow
+    projection below the inserted round-robin exchange, so the shuffle
+    carries only the columns the query reads.
+
+    Applied ONLY where a quiet-window A/B at sf1.0 showed a win
+    (text_quality 1.6→0.5 s, bpe 1.1→0.35, lang_id 0.80→0.36,
+    pagination 0.39→0.30): for cheap-map aggregations the inserted
+    exchange costs MORE than the serial map side it parallelizes
+    (events_hourly 0.9→1.4, pivot 0.64→1.55, percentiles 1.0→1.85,
+    doc_fingerprint 1.3→1.7 — all left on plain _t)."""
     from docling_pdf_spark.functions.scanspread import spread_unsplittable
 
     return spread_unsplittable(_t(spark, sf_dir, name))

@@ -271,36 +271,30 @@ def test_detector_survives_sparse_per_split_samples(spark):
     assert not detect_cost_sorted(spans(mixed), sample_fraction=0.01)
 
 
-def test_text_embedding_is_single_shuffle_with_partial_agg(spark):
-    """The feature-hash embedder must cost exactly one exchange (on the
-    doc id) with a map-side partial aggregate reducing the exploded
-    token stream to |docs|×dim before the shuffle — the same shape as
-    the SimHash bit votes. A groupBy(id, bucket) → groupBy(id) plan
-    would be two exchanges of token-scale data."""
+@pytest.mark.parametrize("dim", [32, 1024])
+def test_text_embedding_is_map_rebuild_at_every_dim(spark, dim):
+    """Round 7: the embedder takes the map-rebuild plan at EVERY dim —
+    groupBy(id, bucket) partial agg then one map per doc, per-token
+    work independent of dim. (The former dim≤64 single-shuffle branch
+    evaluated dim CASEs per token row and measured 4× slower at dim=64
+    on sf1.0; outputs are bit-identical, so the branch was removed.)
+    Exactly two hash exchanges of combined token-scale data, a
+    map-side partial aggregate below the first, zero Python; the only
+    other exchange allowed is the round-robin unsplittable-scan
+    spread (guide §2.5)."""
     from docling_pdf_spark.operators.similarity import text_embedding
     from docling_pdf_spark.plans import formatted_plan
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    plan = formatted_plan(text_embedding(docs, dim=32))
-    # "Exchange (n)" is the tree node; the detail section repeats it as
-    # "(n) Exchange" — count tree nodes only
-    assert plan.count("Exchange (") == 1
-    assert "partial_sum" in plan
-    assert "Python" not in plan
-
-
-def test_text_embedding_model_dim_is_two_shuffles(spark):
-    """At model-scale dims (>64) the embedder must take the
-    map-rebuild branch: groupBy(id, bucket) partial agg then one map
-    per doc — exactly TWO exchanges, still zero Python, and per-token
-    work independent of dim (the ≤64 branch's dim-CASE codegen would
-    blow past Janino limits at 1024)."""
-    from docling_pdf_spark.operators.similarity import text_embedding
-    from docling_pdf_spark.plans import formatted_plan
-
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    plan = formatted_plan(text_embedding(docs, dim=1024))
-    assert plan.count("Exchange (") == 2
+    plan = formatted_plan(text_embedding(docs, dim=dim))
+    assert plan.count("hashpartitioning") >= 1  # tree+detail duplicate
+    # two hash exchanges (id,bucket then id); any further exchange must
+    # be the round-robin spread, never another hash/range shuffle
+    tree = plan.split("\n\n")[0]
+    n_exchanges = tree.count("Exchange (")
+    assert 2 <= n_exchanges <= 3
+    assert plan.count("REPARTITION_BY_NUM") <= 1
+    assert "rangepartitioning" not in plan
     assert "partial_sum" in plan
     assert "Python" not in plan
 
@@ -339,44 +333,14 @@ def test_fill_to_allocation_plan_shape(spark):
     from docling_pdf_spark.plans import formatted_plan
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    # materialize=False exposes the full lineage (the default
-    # localCheckpoint freezes the range exchange behind an ExistingRDD
-    # scan — its shape is pinned separately below)
-    plan_df = fill_to_allocation(
-        docs,
-        token_budget_mix(docs, {"en": 5, "de": 2, "fr": 2}, 50_000),
-        order_by=-F.col("n_chars"),
-        n_buckets=8,
-        materialize=False,
-    )
-    p = formatted_plan(plan_df)
-    assert "rangepartitioning(lang" in p, "docs path must range-repartition"
-    assert p.count("BroadcastExchange") >= 2, (
-        "bucket offsets and the stratum plan must broadcast, not shuffle"
-    )
-    # the docs-side cumsum window hash-partitions on (lang, _bucket)
-    assert "hashpartitioning(lang" in p and "_bucket" in p
-    # the only SinglePartition windows sit under the broadcast side
-    # (the per-stratum water-filling aggregate): every window over the
-    # docs relation must carry the bucket key, i.e. any window sorted
-    # on doc_id must be preceded by a (lang, _bucket) hash exchange —
-    # pinned indirectly by requiring that NO window sorts the full
-    # docs relation: a docs-side SinglePartition would print a
-    # 'SinglePartition' exchange feeding a Window whose sort includes
-    # doc_id; the broadcast-side windows sort only stratum columns
-    lines = p.splitlines()
-    for i, line in enumerate(lines):
-        if "SinglePartition" in line:
-            ctx = "\n".join(lines[max(0, i - 12): i + 4])
-            assert "doc_id" not in ctx, (
-                f"SinglePartition exchange on the document path:\n{ctx}"
-            )
-    assert "Python" not in p, "pure-JVM operator"
-
-    # default (materialize=True) shape: both docs-side branches read
-    # ONE frozen bucket assignment (a localCheckpoint scan that already
-    # carries _bucket), the cumsum window still hash-partitions on
-    # (lang, _bucket), and offsets + plan still arrive by broadcast
+    # round 7: the bucket assignment is ALWAYS localCheckpointed (the
+    # former materialize=False lineage-exposing path was unsound —
+    # round-6 advice), so the range-exchange lineage is pinned by
+    # test_prefixsum_bucket_lineage_is_range_exchange instead.
+    # End-to-end shape: both docs-side branches read ONE frozen bucket
+    # assignment (a localCheckpoint scan that already carries _bucket),
+    # the cumsum window hash-partitions on (lang, _bucket), and
+    # offsets + plan arrive by broadcast
     pd_ = formatted_plan(fill_to_allocation(
         docs,
         token_budget_mix(docs, {"en": 5, "de": 2, "fr": 2}, 50_000),
@@ -406,26 +370,21 @@ def test_deterministic_shuffle_plan_shape(spark):
     from docling_pdf_spark.plans import formatted_plan
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    # materialize=False exposes the full lineage
-    p = formatted_plan(
-        deterministic_shuffle(docs, 42, n_buckets=8, materialize=False)
-    )
-    assert "rangepartitioning(_skey" in p, "docs must range-repartition"
-    assert "BroadcastExchange" in p, "offsets must broadcast, not shuffle"
-    assert "hashpartitioning(_bucket" in p, "bounded per-bucket window"
-    for i, line in enumerate(p.splitlines()):
-        if "SinglePartition" in line:
-            ctx = "\n".join(p.splitlines()[max(0, i - 12): i + 4])
-            assert "doc_id" not in ctx and "text" not in ctx, (
-                f"SinglePartition on the document path:\n{ctx}"
-            )
-    assert "Python" not in p, "pure-JVM operator"
-
-    # default (materialize=True): ONE frozen bucket assignment feeds
-    # both branches; same boundedness guarantees
+    # round 7: ONE frozen (always-localCheckpointed) bucket assignment
+    # feeds both branches — the range-exchange lineage is pinned by
+    # test_prefixsum_bucket_lineage_is_range_exchange; here we pin the
+    # end-to-end boundedness guarantees
     pd_ = formatted_plan(deterministic_shuffle(docs, 42, n_buckets=8))
     assert "localCheckpoint" in pd_
     assert "hashpartitioning(_bucket" in pd_
+    assert "BroadcastExchange" in pd_, "offsets must broadcast, not shuffle"
+    for i, line in enumerate(pd_.splitlines()):
+        if "SinglePartition" in line:
+            ctx = "\n".join(pd_.splitlines()[max(0, i - 12): i + 4])
+            assert "doc_id" not in ctx and "text" not in ctx, (
+                f"SinglePartition on the document path:\n{ctx}"
+            )
+    assert "Python" not in pd_, "pure-JVM operator"
     assert "BroadcastExchange" in pd_
     assert "Python" not in pd_
     for i, line in enumerate(pd_.splitlines()):
@@ -458,3 +417,23 @@ def test_dsir_plan_shape(spark):
             assert "text" not in ctx and "grams" not in ctx, (
                 f"SinglePartition on the corpus path:\n{ctx}"
             )
+
+
+def test_prefixsum_bucket_lineage_is_range_exchange(spark):
+    """The (always-checkpointed) bucket assignment's lineage must be a
+    RANGE exchange on the total order — never a single-task global
+    sort, never Python. Asserted on the pre-checkpoint frame, since
+    the checkpoint hides it behind an ExistingRDD scan in the
+    downstream plans."""
+    from pyspark.sql import functions as F
+
+    from docling_pdf_spark.operators.prefixsum import _ranged_bucketed
+    from docling_pdf_spark.plans import formatted_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = formatted_plan(
+        _ranged_bucketed(docs, [F.col("lang"), F.col("doc_id")], 8)
+    )
+    assert "rangepartitioning(lang" in p
+    assert "SinglePartition" not in p
+    assert "Python" not in p

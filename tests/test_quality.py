@@ -264,14 +264,16 @@ def test_line_shape_matches_duckdb(spark):
 
 def test_line_shape_plan_is_narrow_jvm(spark):
     """The line-shape signals are pure row expressions: the plan must
-    contain NO shuffle and NO Python — at 100 TB they ride the same
-    codegen filter stage as the length gates."""
+    contain NO aggregation shuffle and NO Python — at 100 TB they ride
+    the same codegen filter stage as the length gates. The only
+    Exchange allowed is the round-robin unsplittable-scan spread
+    (guide §2.5, round 7)."""
     from docling_pdf_spark.operators.quality import line_shape_stats
     from docling_pdf_spark.plans import formatted_plan
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = formatted_plan(line_shape_stats(docs))
-    assert "Exchange (" not in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     assert "Python" not in plan
 
 
