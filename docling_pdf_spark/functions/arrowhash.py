@@ -636,3 +636,75 @@ def simhash_fingerprints_fast_arrow(docs, id_col, text_col):
             )
 
     return sel.mapInArrow(gen, out_schema)
+
+
+def _xxh64_int_lane(seeds, i: int):
+    """Vectorized XXH64 of a single 4-byte int lane with per-row seeds
+    — Spark's multi-column xxhash64 chains exactly this: each later
+    column is hashed with the running hash as the seed, and an
+    IntegerType lane takes the 4-byte path (validated bit-exact against
+    F.xxhash64(col, lit(i)))."""
+    u64 = np.uint64
+    with np.errstate(over="ignore"):
+        acc = seeds + u64((_XP5 + 4) & _M64)
+        acc = acc ^ u64(((i & 0xFFFFFFFF) * _XP1) & _M64)
+        acc = ((acc << u64(23)) | (acc >> u64(41))) * u64(_XP2) + u64(_XP3)
+        acc ^= acc >> u64(33)
+        acc *= u64(_XP2)
+        acc ^= acc >> u64(29)
+        acc *= u64(_XP3)
+        acc ^= acc >> u64(32)
+    return acc
+
+
+def text_embedding_arrow(docs, dim, id_col, text_col):
+    """(id, embedding array<double>) — twin of the JVM map-rebuild
+    text_embedding: bucket = pmod(xxhash64(w), dim), sign from the
+    chained xxhash64(w, lit(1)) parity, ±1 votes accumulated per
+    bucket, L2-normalized, zero-norm docs excluded. One narrow Arrow
+    stage instead of explode → groupBy(id, bucket) → per-doc map
+    rebuild (the rebuild evaluated an interpreted element_at lambda
+    dim times per doc). Values are bit-identical: votes are exact
+    integers in double, the squared norm is an exact integer sum, and
+    the element-wise division is the same IEEE operation."""
+    from pyspark.sql import types as T
+
+    sel = spread_unsplittable(docs.select(id_col, text_col))
+    out_schema = T.StructType(
+        [
+            sel.schema.fields[0],
+            T.StructField("embedding", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            keep = []
+            embs = []
+            for j, t in enumerate(texts):
+                if t is None:
+                    continue
+                toks = [w for w in _JAVA_WS.split(t) if w != ""]
+                if not toks:
+                    continue
+                hs = xxh64_strings(toks)
+                buckets = hs.view(np.int64) % dim  # pmod: numpy % is nonneg
+                signs = (
+                    (_xxh64_int_lane(hs, 1).view(np.int64) % 2) * 2 - 1
+                ).astype(np.float64)
+                v = np.bincount(buckets, weights=signs, minlength=dim)
+                norm = float(np.sqrt((v * v).sum()))
+                if norm == 0.0:
+                    continue
+                keep.append(j)
+                embs.append(v / norm)
+            ids = b.column(0).take(pa.array(np.asarray(keep, dtype=np.int64)))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(embs, type=pa.list_(pa.float64()))],
+                names=[id_col, "embedding"],
+            )
+
+    return sel.mapInArrow(gen, out_schema)

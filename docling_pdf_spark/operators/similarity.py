@@ -220,18 +220,32 @@ def text_embedding(
     """Feature-hashing text embedding (the 'hashing trick', Weinberger
     et al. ICML'09): every token adds ±1 (sign from a second hash) to
     bucket xxhash64(token) mod dim; the vector is L2-normalized.
-    Deterministic and pure JVM. For small dim (≤64, the hashing-trick
-    regime): one explode, then ONE shuffle on the doc id carrying dim
-    conditional-sum aggregates with map-side combine — the SimHash
-    bit-vote shape. For model-scale dim: a two-shuffle
-    groupBy(id, bucket) → map rebuild whose per-token work stays O(1)
-    (dim CASEs per token and a dim-wide codegen aggregate would not
-    survive there). This is the stand-in embedder that lets embedding-space
-    operators (IVF bucketing, cosine near-dup) run end-to-end where no
-    model service exists; a real pipeline swaps in model vectors by
-    replacing this single stage. Unsplittable scans are spread first
-    (guide §2.5) so the explode and the partial aggregation
-    parallelize."""
+    Deterministic. This is the stand-in embedder that lets
+    embedding-space operators (IVF bucketing, cosine near-dup) run
+    end-to-end where no model service exists; a real pipeline swaps in
+    model vectors by replacing this single stage.
+
+    Round 7: computed as ONE narrow Arrow stage
+    (functions/arrowhash.py) using the bit-exact vectorized XXH64 twin
+    of F.xxhash64 (incl. the chained int-lane sign hash) — the JVM
+    map-rebuild form below (_text_embedding_jvm, kept for the parity
+    pin) paid two shuffles of combined token-scale data plus an
+    interpreted element_at lambda evaluated dim times per doc. Values
+    are bit-identical (exact ±1 integer votes, exact squared norms,
+    same IEEE element-wise division)."""
+    from docling_pdf_spark.functions.arrowhash import text_embedding_arrow
+
+    return text_embedding_arrow(docs, dim, id_col, text_col)
+
+
+def _text_embedding_jvm(
+    docs: DataFrame,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Reference JVM form of text_embedding (two-shuffle map-rebuild) —
+    retained for the Arrow-vs-JVM parity test."""
     from docling_pdf_spark.functions.scanspread import spread_unsplittable
 
     docs = spread_unsplittable(docs.select(F.col(id_col), F.col(text_col)))

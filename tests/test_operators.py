@@ -788,3 +788,25 @@ def test_simhash_fast_arrow_matches_jvm_form(spark):
     jvm = dict(_simhash_fingerprints_jvm(docs).collect())
     arrow = dict(simhash_fingerprints(docs).collect())
     assert jvm == arrow and len(arrow) > 0
+
+
+def test_text_embedding_arrow_matches_jvm_form(spark):
+    """Round 7: the embedder's Arrow kernel (vectorized XXH64 bucket +
+    chained int-lane sign hash) must be bit-identical to the JVM
+    map-rebuild form at several dims, including non-power-of-two dims
+    (where pmod of the SIGNED hash matters), unicode tokens, and
+    zero-token docs."""
+    from docling_pdf_spark.operators.similarity import (
+        _text_embedding_jvm,
+        text_embedding,
+    )
+
+    rows = [(1, "héllo wörld ünïcode tokens"), (2, ""), (3, None),
+            (4, "   \t "), (5, "a b a b a b"),
+            (6, "日本語 トークン mixed words here"),
+            (7, "x" * 40 + " " + "y" * 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for dim in (16, 80):
+        jvm = {r[0]: tuple(r[1]) for r in _text_embedding_jvm(docs, dim=dim).collect()}
+        arrow = {r[0]: tuple(r[1]) for r in text_embedding(docs, dim=dim).collect()}
+        assert jvm == arrow and len(arrow) > 0, dim

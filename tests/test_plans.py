@@ -272,31 +272,24 @@ def test_detector_survives_sparse_per_split_samples(spark):
 
 
 @pytest.mark.parametrize("dim", [32, 1024])
-def test_text_embedding_is_map_rebuild_at_every_dim(spark, dim):
-    """Round 7: the embedder takes the map-rebuild plan at EVERY dim —
-    groupBy(id, bucket) partial agg then one map per doc, per-token
-    work independent of dim. (The former dim≤64 single-shuffle branch
-    evaluated dim CASEs per token row and measured 4× slower at dim=64
-    on sf1.0; outputs are bit-identical, so the branch was removed.)
-    Exactly two hash exchanges of combined token-scale data, a
-    map-side partial aggregate below the first, zero Python; the only
-    other exchange allowed is the round-robin unsplittable-scan
-    spread (guide §2.5)."""
+def test_text_embedding_is_one_narrow_arrow_stage(spark, dim):
+    """Round 7: the embedder is ONE MapInArrow batch stage at every dim
+    (bit-exact vectorized XXH64 twin; parity pinned in
+    test_operators.test_text_embedding_arrow_matches_jvm_form) — the
+    JVM map-rebuild form paid two shuffles of combined token-scale data
+    plus an interpreted element_at rebuild evaluated dim times per doc.
+    No hash/range partitioning anywhere; the only Exchange permitted is
+    the round-robin unsplittable-scan spread (guide §2.5); no
+    row-at-a-time Python."""
     from docling_pdf_spark.operators.similarity import text_embedding
     from docling_pdf_spark.plans import formatted_plan
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = formatted_plan(text_embedding(docs, dim=dim))
-    assert plan.count("hashpartitioning") >= 1  # tree+detail duplicate
-    # two hash exchanges (id,bucket then id); any further exchange must
-    # be the round-robin spread, never another hash/range shuffle
-    tree = plan.split("\n\n")[0]
-    n_exchanges = tree.count("Exchange (")
-    assert 2 <= n_exchanges <= 3
-    assert plan.count("REPARTITION_BY_NUM") <= 1
-    assert "rangepartitioning" not in plan
-    assert "partial_sum" in plan
-    assert "Python" not in plan
+    assert "MapInArrow" in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
 
 
 def test_sequence_packing_window_is_sharded(spark):
