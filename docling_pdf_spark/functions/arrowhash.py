@@ -224,6 +224,23 @@ def minhash_signatures_portable_arrow(docs, params, n, id_col, text_col):
     return sel.mapInArrow(gen, out_schema)
 
 
+
+def _bit_votes(hs, bit_idx):
+    """Per-bit one-counts of a uint64 hash array, accumulated in
+    64k-hash chunks: the obvious `(hs[:, None] >> bits) & 1` expands to
+    a tokens x n_bits int64 matrix — ~0.5 GB transient for a single
+    1M-token document, times one per concurrent Arrow worker (review-
+    found). Chunking caps the transient at ~32 MB while keeping the
+    vectorized inner loop."""
+    ones = np.zeros(len(bit_idx), dtype=np.int64)
+    for s in range(0, len(hs), 65536):
+        chunk = hs[s : s + 65536]
+        ones += ((chunk[:, None] >> bit_idx) & np.uint64(1)).sum(
+            axis=0, dtype=np.int64
+        )
+    return ones
+
+
 def simhash_fingerprints_portable_arrow(docs, n_bits, id_col, text_col):
     """(id, simhash) — twin of operators.dedup
     .simhash_fingerprints_portable: per-token md5_low60, each of the low
@@ -256,7 +273,7 @@ def simhash_fingerprints_portable_arrow(docs, n_bits, id_col, text_col):
                     dtype=np.uint64,
                     count=len(toks),
                 )
-                ones = ((hs[:, None] >> bit_idx) & 1).sum(axis=0, dtype=np.int64)
+                ones = _bit_votes(hs, bit_idx)
                 votes = 2 * ones - len(toks)
                 fp = int(((votes > 0).astype(np.uint64) << bit_idx).sum())
                 keep.append(j)
@@ -467,11 +484,12 @@ def _winnow_doc_fast(t: str, k: int, w: int):
                 lanes |= a[i : i + m] << np.uint64(8 * i)
         hs = _xxh64_lanes8(lanes)
     else:
-        hs = np.fromiter(
-            (xxh64_bytes(t[i : i + k].encode("utf-8")) for i in range(m)),
-            dtype=np.int64,
-            count=m,
-        )
+        # non-ASCII (or non-default k): grams are variable-length in
+        # bytes, so hash them through the length-classed vectorized
+        # path instead of a per-gram scalar loop (review-found cliff:
+        # one 'é' in a 10k-char doc sent every gram through interpreted
+        # Python at µs each)
+        hs = xxh64_strings([t[i : i + k] for i in range(m)]).view(np.int64)
     wm = np.minimum.reduce([hs[i : m - w + 1 + i] for i in range(w)])
     return np.unique(wm)
 
@@ -618,9 +636,7 @@ def simhash_fingerprints_fast_arrow(docs, id_col, text_col):
                 if not toks:
                     continue
                 hs = xxh64_strings(toks)
-                ones = ((hs[:, None] >> bit_idx) & np.uint64(1)).astype(
-                    np.int64
-                ).sum(axis=0)
+                ones = _bit_votes(hs, bit_idx)
                 votes = 2 * ones - len(toks)
                 fp = int(
                     ((votes > 0).astype(np.uint64) << bit_idx).sum(

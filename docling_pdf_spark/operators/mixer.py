@@ -52,17 +52,19 @@ DuckDB twin runs the naive form, and that equality is the operator's
 correctness contract (same pattern as `per_source_cap`).
 
 Plan note: the bucket-offset branch forks the lineage above the range
-exchange. By default the bucketed rows are localCheckpointed so both
+exchange. The bucketed rows are ALWAYS localCheckpointed so both
 branches read ONE materialized bucket assignment — correct for any
 input, including shuffle-rooted lineage whose re-evaluation is
 nondeterministic (shuffle fetch order, AQE coalescing would let two
-independent RangePartitioners sample different boundaries). For
-deterministically re-computable input (a parquet scan), callers can
-pass materialize=False: the two range exchanges then provably sample
-identical boundaries (same per-partition seed, same key columns, same
-scan splits) and the offsets branch is column-pruned to a fraction of
-the bytes. The bucket-count equivalence test (including n_buckets=4096
-with mostly empty buckets) pins the boundary agreement both ways.
+independent RangePartitioners sample different boundaries). Round 7
+removed the former materialize=False fast path: its "provably
+identical boundaries on re-computable input" claim was unsound — the
+RangePartitioner's sample seed derives from rdd.id, not content, and
+column pruning makes the two branches' exchanges non-identical plans
+(round-6 advice, medium; see operators/prefixsum.py). The parameter
+is accepted for API compatibility and ignored. The bucket-count
+equivalence test (including n_buckets=4096 with mostly empty buckets)
+pins the boundary agreement.
 
 Reference parity note: the reference app (pdf_extractor.py) has no
 mixing stage — this is part of the training-data-pipeline extension
@@ -322,18 +324,14 @@ def fill_to_allocation(
     value-identical to the naive per-stratum window cumsum, with no
     single-task sort of a mega-stratum.
 
-    `materialize` (default True) localCheckpoints the bucketed rows so
-    the offsets branch and the cumsum branch read the SAME materialized
-    bucket assignment. This is what makes the operator safe on
-    SHUFFLE-ROOTED input (a join/aggregate upstream): without it the
-    two branches re-evaluate the range exchange independently, and a
-    nondeterministic upstream (shuffle fetch order, AQE partition
-    coalescing) can make the two RangePartitioners sample different
-    boundaries — disagreeing _bucket ids would silently corrupt the
-    prefix sums. Pass materialize=False only for deterministically
-    re-computable input (a parquet scan, or an already-persisted
-    DataFrame), where both evaluations provably sample identical
-    boundaries; that skips the one-pass materialization cost.
+    The bucketed rows are always localCheckpointed so the offsets
+    branch and the cumsum branch read the SAME materialized bucket
+    assignment — without it the two branches would re-evaluate the
+    range exchange independently and the two RangePartitioners could
+    sample different boundaries, silently corrupting the prefix sums
+    (`materialize` is accepted for API compatibility and ignored since
+    round 7 — see operators/prefixsum.py for why the former fast path
+    was unsound).
     """
     from docling_pdf_spark.operators.prefixsum import (
         bucket_offsets,

@@ -137,7 +137,17 @@ def q_pagination_50(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "_toks",
         F.explode(
-            F.sequence(F.lit(0).cast("long"), F.floor((n - 1) / F.lit(50)))
+            # the n >= 1 guard pins NULL-text behavior in BOTH ANSI
+            # modes: under ansi=false size(NULL) is -1, and an
+            # unguarded sequence(0, -1) would emit two garbage pages
+            # per NULL doc where the old groupBy form emitted none
+            # (review-found); when() yields NULL there, sequence
+            # propagates it, explode drops the row. Non-null text
+            # always splits to >= 1 token, so results are unchanged.
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.when(n >= 1, F.floor((n - 1) / F.lit(50))),
+            )
         ).alias("page_number"),
     )
     return pages.select(
